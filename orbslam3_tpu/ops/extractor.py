@@ -1,0 +1,131 @@
+"""Fused single-dispatch ORB extraction pipeline.
+
+The reference issues ~32 synchronous kernel launches + host round-trips per
+camera per frame (SURVEY §3.2) — its main inefficiency.  Here the *entire*
+extraction (pyramid, blur, FAST, selection, orientation, descriptors, output
+packing) is one jitted XLA program per image geometry: one dispatch, zero host
+syncs, everything HBM-resident.  Stereo runs as a batch of two via vmap.
+
+API parity: `ORBextractor::operator()` (/root/reference/include/ORBextractor.h:66-68)
+returns keypoints + descriptors + a mono/stereo lapping split; here the device
+returns a fixed-size `FrameFeatures` slot block (per-level blocks of static
+quota with validity masks) and the lapping split is a cheap host/post step
+(`split_lapping`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orbslam3_tpu.oracle.orb_cpu import FAST_BORDER, PATCH_SIZE, PyramidParams
+from orbslam3_tpu.ops.pyramid import build_pyramid, gaussian_blur7_u8
+from orbslam3_tpu.ops.fast import detect_two_threshold
+from orbslam3_tpu.ops.select import select_topk_grid
+from orbslam3_tpu.ops.orientation import ic_angles
+from orbslam3_tpu.ops.brief import brief_descriptors
+
+
+class FrameFeatures(NamedTuple):
+    """Fixed-size keypoint block; invalid slots are masked, not removed."""
+
+    xy: jax.Array        # (K, 2) f32 — level-0 (full-res) coordinates
+    response: jax.Array  # (K,) f32 — FAST corner score
+    angle: jax.Array     # (K,) f32 — IC angle, degrees [0, 360)
+    octave: jax.Array    # (K,) i32 — pyramid level
+    size: jax.Array      # (K,) f32 — PATCH_SIZE * scale_factor[octave]
+    valid: jax.Array     # (K,) bool
+    desc: jax.Array      # (K, 32) u8 — rBRIEF
+
+    @property
+    def max_keypoints(self) -> int:
+        return self.xy.shape[-2]
+
+
+def _empty_level_block(k: int) -> FrameFeatures:
+    return FrameFeatures(
+        xy=jnp.zeros((k, 2), jnp.float32),
+        response=jnp.zeros((k,), jnp.float32),
+        angle=jnp.zeros((k,), jnp.float32),
+        octave=jnp.zeros((k,), jnp.int32),
+        size=jnp.zeros((k,), jnp.float32),
+        valid=jnp.zeros((k,), bool),
+        desc=jnp.zeros((k, 32), jnp.uint8),
+    )
+
+
+def extract_features(
+    image: jax.Array, params: PyramidParams
+) -> FrameFeatures:
+    """Full ORB extraction of one grayscale uint8 image. Trace-once per shape."""
+    pyramid = build_pyramid(image, params)
+    quotas = [int(q) for q in params.features_per_level()]
+    scales = params.scale_factors
+    b = FAST_BORDER
+    blocks: list[FrameFeatures] = []
+    for level, img in enumerate(pyramid):
+        h, w = img.shape
+        k = quotas[level]
+        ch, cw = h - 2 * b, w - 2 * b
+        if ch < 7 or cw < 7 or k <= 0:
+            blocks.append(_empty_level_block(max(k, 0)))
+            continue
+        crop = img[b : h - b, b : w - b]
+        score = detect_two_threshold(crop, params.ini_th_fast, params.min_th_fast)
+        k_eff = min(k, ch * cw)
+        xy_c, resp, valid = select_topk_grid(score, k_eff)
+        xy_i = xy_c + b  # add detection border back (addBorder_kernel semantics)
+        safe_xy = jnp.where(valid[:, None], xy_i, b + 3)  # keep slices in-bounds
+        angles = ic_angles(img, safe_xy)
+        blurred = gaussian_blur7_u8(img)
+        desc = brief_descriptors(blurred, safe_xy.astype(jnp.float32), angles)
+        scale = float(scales[level])
+        blk = FrameFeatures(
+            xy=xy_i.astype(jnp.float32) * (scale if level != 0 else 1.0),
+            response=resp.astype(jnp.float32),
+            angle=angles,
+            octave=jnp.full((k_eff,), level, jnp.int32),
+            size=jnp.full((k_eff,), PATCH_SIZE * scale, jnp.float32),
+            valid=valid,
+            desc=desc,
+        )
+        if k_eff < k:  # pad the block to the static quota
+            pad = _empty_level_block(k - k_eff)
+            blk = jax.tree.map(lambda a, p: jnp.concatenate([a, p]), blk, pad)
+        # zero out invalid slots so downstream masked ops see clean data
+        blk = blk._replace(
+            xy=jnp.where(blk.valid[:, None], blk.xy, 0.0),
+            response=jnp.where(blk.valid, blk.response, 0.0),
+            angle=jnp.where(blk.valid, blk.angle, 0.0),
+            desc=jnp.where(blk.valid[:, None], blk.desc, 0),
+        )
+        blocks.append(blk)
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs), *blocks)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def extract_features_jit(image: jax.Array, params: PyramidParams) -> FrameFeatures:
+    return extract_features(image, params)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def extract_features_stereo_jit(images: jax.Array, params: PyramidParams) -> FrameFeatures:
+    """Batched extraction — images (B, H, W); left/right as a batch of 2."""
+    return jax.vmap(lambda im: extract_features(im, params))(images)
+
+
+def split_lapping(feat_np: dict, lapping: tuple[float, float]) -> tuple[np.ndarray, int]:
+    """Order valid slots mono-first / stereo-tail (operator() :1289-1303).
+
+    Returns (permutation over valid entries, mono_index).
+    """
+    xy = feat_np["xy"]
+    valid = feat_np["valid"]
+    idx = np.nonzero(valid)[0]
+    in_lap = (xy[idx, 0] >= lapping[0]) & (xy[idx, 0] <= lapping[1])
+    order = np.concatenate([idx[~in_lap], idx[in_lap][::-1]])
+    return order, int((~in_lap).sum())

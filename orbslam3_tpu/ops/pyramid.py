@@ -1,0 +1,78 @@
+"""Device-side image pyramid: bilinear resize + fixed-point Gaussian blur.
+
+TPU-first design: all arithmetic is integer fixed point (order-independent, so
+XLA may fuse/reorder freely without breaking bit-exactness vs the CPU oracle in
+``orbslam3_tpu.oracle.orb_cpu``).  The resize matches cv2.resize INTER_LINEAR
+for uint8 bit-exactly (the reference builds its pyramid with cv::resize,
+/root/reference/src/ORBextractor.cc:1309-1329); the blur is the framework's
+own 16-bit-fraction spec (see oracle module docstring for the rationale).
+
+Shapes are static per level — the per-level Python loop unrolls under jit into
+one fused XLA program; no host round-trips between levels.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from orbslam3_tpu.oracle.orb_cpu import (
+    PyramidParams,
+    _linear_coeffs,
+    gaussian_kernel7_fixed,
+)
+
+_BLUR_K = [int(v) for v in gaussian_kernel7_fixed()]
+_BLUR_HALF = 1 << 15
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def resize_linear_u8(src: jax.Array, dh: int, dw: int) -> jax.Array:
+    """Bit-exact cv2 INTER_LINEAR 8u resize (11-bit taps, 22-bit accumulator)."""
+    sh, sw = src.shape
+    sx, ax0, ax1 = _linear_coeffs(dw, sw)
+    sy, by0, by1 = _linear_coeffs(dh, sh)
+    sx1 = np.minimum(sx + 1, sw - 1)
+    sy1 = np.minimum(sy + 1, sh - 1)
+    s = src.astype(jnp.int32)
+    rows = s[:, sx] * jnp.asarray(ax0, jnp.int32) + s[:, sx1] * jnp.asarray(ax1, jnp.int32)
+    r0 = rows[sy, :]
+    r1 = rows[sy1, :]
+    by0 = jnp.asarray(by0, jnp.int32)[:, None]
+    by1 = jnp.asarray(by1, jnp.int32)[:, None]
+    out = (((by0 * (r0 >> 4)) >> 16) + ((by1 * (r1 >> 4)) >> 16) + 2) >> 2
+    return jnp.clip(out, 0, 255).astype(jnp.uint8)
+
+
+def _reflect101_pad3(img: jax.Array) -> jax.Array:
+    """Pad 3 px on each side with reflect-101 (no edge repeat)."""
+    top = img[3:0:-1, :]
+    bot = img[-2:-5:-1, :]
+    v = jnp.concatenate([top, img, bot], axis=0)
+    left = v[:, 3:0:-1]
+    right = v[:, -2:-5:-1]
+    return jnp.concatenate([left, v, right], axis=1)
+
+
+@jax.jit
+def gaussian_blur7_u8(img: jax.Array) -> jax.Array:
+    """Separable 7-tap sigma=2 fixed-point blur, bit-exact vs the oracle."""
+    h, w = img.shape
+    pad = _reflect101_pad3(img.astype(jnp.int32))
+    hp = sum(_BLUR_K[i] * pad[:, i : i + w] for i in range(7))
+    hp = (hp + _BLUR_HALF) >> 16
+    vp = sum(_BLUR_K[i] * hp[i : i + h, :] for i in range(7))
+    out = (vp + _BLUR_HALF) >> 16
+    return jnp.clip(out, 0, 255).astype(jnp.uint8)
+
+
+def build_pyramid(image: jax.Array, params: PyramidParams) -> list[jax.Array]:
+    """All pyramid levels (uint8, unbordered views — see SURVEY §7)."""
+    sizes = params.level_sizes(*image.shape)
+    levels = [image]
+    for (lh, lw) in sizes[1:]:
+        levels.append(resize_linear_u8(levels[-1], lh, lw))
+    return levels

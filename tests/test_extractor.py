@@ -1,0 +1,102 @@
+"""Fused extractor pipeline: parity vs the CPU oracle."""
+
+import numpy as np
+
+from orbslam3_tpu.oracle import orb_cpu as oc
+
+
+def _oracle_corner_sets(img, params):
+    """Per-level set of NMS'd two-threshold corners (full-image coords)."""
+    pyr = oc.build_pyramid(img, params)
+    sets = []
+    for level_img in pyr:
+        h, w = level_img.shape
+        crop = level_img[16 : h - 16, 16 : w - 16]
+        kps = oc.fast_keypoints_two_threshold(crop, params.ini_th_fast, params.min_th_fast)
+        sets.append(set((int(x) + 16, int(y) + 16) for x, y, _ in kps))
+    return sets
+
+
+def test_extractor_keypoints_are_true_corners(test_image):
+    import jax.numpy as jnp
+    from orbslam3_tpu.ops.extractor import extract_features_jit
+
+    params = oc.PyramidParams(n_features=1000)
+    feats = extract_features_jit(jnp.asarray(test_image), params)
+    feats = {k: np.asarray(v) for k, v in feats._asdict().items()}
+    corner_sets = _oracle_corner_sets(test_image, params)
+    inv_scales = params.inv_scale_factors
+
+    valid = feats["valid"]
+    assert valid.sum() > 800  # textured synthetic image should near-fill quota
+    for i in np.nonzero(valid)[0]:
+        lvl = int(feats["octave"][i])
+        x, y = feats["xy"][i]
+        lx = int(round(x * inv_scales[lvl]))
+        ly = int(round(y * inv_scales[lvl]))
+        assert (lx, ly) in corner_sets[lvl], (lvl, lx, ly)
+
+
+def test_extractor_descriptors_match_oracle_pointwise(test_image):
+    """For every selected keypoint, angle/descriptor match the oracle's
+    computation at that same location (platform-trig tolerance on bits)."""
+    import jax.numpy as jnp
+    from orbslam3_tpu.ops.extractor import extract_features_jit
+
+    params = oc.PyramidParams(n_features=500)
+    feats = extract_features_jit(jnp.asarray(test_image), params)
+    feats = {k: np.asarray(v) for k, v in feats._asdict().items()}
+    pyr = oc.build_pyramid(test_image, params)
+    inv_scales = params.inv_scale_factors
+
+    total, exact = 0, 0
+    for lvl in range(params.n_levels):
+        sel = np.nonzero(feats["valid"] & (feats["octave"] == lvl))[0]
+        if len(sel) == 0:
+            continue
+        pts = feats["xy"][sel] * inv_scales[lvl]
+        pts = np.rint(pts).astype(np.float32)
+        want_ang = oc.ic_angles(pyr[lvl], pts)
+        d = np.abs(want_ang - feats["angle"][sel])
+        d = np.minimum(d, 360 - d)
+        assert d.max() < 1e-3
+        blurred = oc.gaussian_blur7_u8(pyr[lvl])
+        want_desc = oc.brief_descriptors(blurred, pts, want_ang)
+        diff_bits = np.unpackbits(want_desc ^ feats["desc"][sel], axis=1).sum(1)
+        total += len(sel)
+        exact += int((diff_bits == 0).sum())
+        assert diff_bits.max() <= 8
+    assert exact / total > 0.95
+
+
+def test_extractor_batch_matches_single(small_image):
+    import jax.numpy as jnp
+    from orbslam3_tpu.ops.extractor import (
+        extract_features_jit,
+        extract_features_stereo_jit,
+    )
+
+    params = oc.PyramidParams(n_features=300)
+    one = extract_features_jit(jnp.asarray(small_image), params)
+    two = extract_features_stereo_jit(
+        jnp.stack([jnp.asarray(small_image)] * 2), params
+    )
+    for a, b in zip(one, two):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b)[0])
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b)[1])
+
+
+def test_selection_respects_quota_and_spread(test_image):
+    import jax.numpy as jnp
+    from orbslam3_tpu.ops.extractor import extract_features_jit
+
+    params = oc.PyramidParams(n_features=1000)
+    feats = extract_features_jit(jnp.asarray(test_image), params)
+    octave = np.asarray(feats.octave)
+    valid = np.asarray(feats.valid)
+    quotas = params.features_per_level()
+    starts = np.cumsum(np.concatenate([[0], quotas[:-1]]))
+    for lvl, (s, q) in enumerate(zip(starts, quotas)):
+        block = slice(int(s), int(s + q))
+        assert valid[block].sum() <= q
+        assert (octave[block][valid[block]] == lvl).all()
