@@ -1,0 +1,86 @@
+"""Driver benchmark: steady-state ORB extraction+stereo-matching latency.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "ms", "vs_baseline": N}
+
+Baseline: the reference's measured 38.53 ms/frame ORB extraction on EuRoC
+MH01 stereo (ExecMean.txt:6, see BASELINE.md).  `vs_baseline` is the speedup
+factor (baseline / ours; >1 means faster than the reference).
+
+Benchmarks the headline per-frame front-end: stereo pair (2x 752x480, 8
+levels, 1000 features/camera) extraction through the fused device pipeline,
+plus left-right descriptor matching when available.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_EXTRACT_MS = 38.53  # reference ExecMean.txt:6 (+ 7.74 stereo match, :7)
+
+
+def make_frame(seed: int, h: int = 480, w: int = 752) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = (
+        120 + 60 * np.sin(xx / 37.0) * np.cos(yy / 23.0) + rng.normal(0, 18, (h, w))
+    ).clip(0, 255)
+    for _ in range(120):
+        cx, cy = int(rng.integers(20, w - 20)), int(rng.integers(20, h - 20))
+        r = int(rng.integers(3, 14))
+        img[(xx - cx) ** 2 + (yy - cy) ** 2 < r * r] = int(rng.integers(0, 256))
+    return img.astype(np.uint8)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from orbslam3_tpu.oracle.orb_cpu import PyramidParams
+    from orbslam3_tpu.frontend import stereo_frame as sf
+
+    params = PyramidParams(n_features=1000)
+    n = 16
+    pairs = jax.device_put(
+        np.stack(
+            [np.stack([make_frame(2 * i), make_frame(2 * i + 1)]) for i in range(n)]
+        )
+    )
+
+    # N frames inside ONE dispatch (lax.scan) with a digest depending on every
+    # output: amortises the tunnel's per-dispatch latency jitter away and
+    # defeats dead-code elimination, measuring true sustained device compute.
+    @jax.jit
+    def run(ps):
+        def body(c, pair):
+            out = sf.extract_and_match_stereo.__wrapped__(
+                pair, params, sf.DEFAULT_MBF, sf.DEFAULT_FX
+            )
+            acc = c
+            for leaf in jax.tree.leaves(out):
+                acc = acc + leaf.astype(jnp.float32).sum()
+            return acc, ()
+        return jax.lax.scan(body, jnp.float32(0), ps)[0]
+
+    np.asarray(run(pairs))  # compile + warmup
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(run(pairs))
+        times.append((time.perf_counter() - t0) * 1e3 / n)
+    value = float(np.median(times))
+    print(
+        json.dumps(
+            {
+                "metric": "stereo_orb_extract_match_ms_per_frame",
+                "value": round(value, 3),
+                "unit": "ms",
+                "vs_baseline": round(BASELINE_EXTRACT_MS / value, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,199 @@
+"""Fused stereo frame front-end: L+R extraction + rectified LR matching.
+
+One jitted XLA program per image geometry runs *everything* the reference's
+stereo Frame constructor does on the perception side (two extractor calls on
+two std::threads + the sequential row-bucketed CPU matcher,
+/root/reference/src/Frame.cc:102-143,841-1011): pyramid, FAST, selection,
+orientation, descriptors for both cameras, then the dense masked Hamming
+match with SAD subpixel refinement and the median-distance filter.
+
+TPU-first design notes:
+ - left/right run as two unrolled instances inside one program (XLA
+   parallelises freely; an image-axis vmap lowers the per-keypoint
+   dynamic-slices to scatter-gathers that are ~75x slower on TPU);
+ - candidate pruning (row band, octave window, disparity range) is additive
+   masking on the K x K Hamming matrix — no row buckets, no control flow;
+ - SAD refinement gathers 11x21 strips from a padded (L, H0, W0) pyramid
+   stack with a level-indexed dynamic_slice per keypoint slot;
+ - the median-of-SAD outlier filter is a masked sort (the reference sorts a
+   dynamic vector on the host).
+
+Semantics match ``orbslam3_tpu.oracle.stereo_cpu`` bit-exactly (which see,
+for the documented deviations from the reference).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orbslam3_tpu.oracle.orb_cpu import PyramidParams
+from orbslam3_tpu.ops.extractor import FrameFeatures, extract_from_pyramid
+from orbslam3_tpu.ops.matching import BIG, TH_HIGH, TH_LOW, hamming_matrix
+from orbslam3_tpu.ops.pyramid import build_pyramid
+
+SAD_W = 5
+SAD_L = 5
+
+# EuRoC-like defaults for the benchmark path (cam0 pinhole, ~0.11 m baseline)
+DEFAULT_FX = 435.2046959714599
+DEFAULT_MBF = 47.90639384423901
+
+
+class StereoFrameFeatures(NamedTuple):
+    left: FrameFeatures
+    right: FrameFeatures
+    u_right: jax.Array  # (K,) f32 — refined right x per left slot, -1 if none
+    depth: jax.Array    # (K,) f32 — mbf/disparity, -1 if none
+
+
+def _pyramid_stack(pyramid: list[jax.Array]) -> jax.Array:
+    """(L, H0, W0) uint8 stack; level l occupies the top-left corner."""
+    h0, w0 = pyramid[0].shape
+    buf = jnp.zeros((len(pyramid), h0, w0), jnp.uint8)
+    for l, img in enumerate(pyramid):
+        h, w = img.shape
+        buf = buf.at[l, :h, :w].set(img)
+    return buf
+
+
+def stereo_match(
+    feat_l: FrameFeatures,
+    feat_r: FrameFeatures,
+    stack_l: jax.Array,
+    stack_r: jax.Array,
+    level_hw: np.ndarray,       # (L, 2) static per-level (h, w)
+    scale_factors: np.ndarray,  # (L,) static
+    mbf: float,
+    mb: float,
+) -> tuple[jax.Array, jax.Array]:
+    """Device LR matcher; returns (u_right, depth) per left keypoint slot."""
+    th_orb = (TH_HIGH + TH_LOW) // 2
+    max_d = mbf / mb
+    scales = jnp.asarray(scale_factors, jnp.float32)
+    inv_scales = 1.0 / scales
+    h_tab = jnp.asarray(level_hw[:, 0], jnp.int32)
+    w_tab = jnp.asarray(level_hw[:, 1], jnp.int32)
+
+    ul, vl = feat_l.xy[:, 0], feat_l.xy[:, 1]
+    ur, vr = feat_r.xy[:, 0], feat_r.xy[:, 1]
+    oct_l, oct_r = feat_l.octave, feat_r.octave
+
+    # --- candidate masks over the K x K pair grid -------------------------
+    row = vl.astype(jnp.int32).astype(jnp.float32)  # trunc(vL), as reference
+    r_r = 2.0 * scales[oct_r]
+    row_ok = (row[:, None] >= jnp.floor(vr - r_r)[None, :]) & (
+        row[:, None] <= jnp.ceil(vr + r_r)[None, :]
+    )
+    oct_ok = (oct_r[None, :] >= oct_l[:, None] - 1) & (
+        oct_r[None, :] <= oct_l[:, None] + 1
+    )
+    u_ok = (ur[None, :] >= (ul - max_d)[:, None]) & (ur[None, :] <= ul[:, None])
+    pair_ok = row_ok & oct_ok & u_ok & feat_l.valid[:, None] & feat_r.valid[None, :]
+
+    dist = hamming_matrix(feat_l.desc, feat_r.desc)
+    d = jnp.where(pair_ok, dist, BIG)
+    best_r = jnp.argmin(d, axis=1).astype(jnp.int32)
+    best_dist = jnp.take_along_axis(d, best_r[:, None], axis=1)[:, 0]
+    tentative = best_dist < th_orb
+
+    # --- SAD subpixel refinement at the left keypoint's level -------------
+    inv = inv_scales[oct_l]
+    sul = jnp.round(ul * inv).astype(jnp.int32)
+    svl = jnp.round(vl * inv).astype(jnp.int32)
+    ur0 = ur[best_r]
+    sur0 = jnp.round(ur0 * inv).astype(jnp.int32)
+    lh, lw = h_tab[oct_l], w_tab[oct_l]
+    in_bounds = (
+        (svl - SAD_W >= 0) & (svl + SAD_W + 1 <= lh)
+        & (sul - SAD_W >= 0) & (sul + SAD_W + 1 <= lw)
+        & (sur0 - SAD_L - SAD_W >= 0) & (sur0 + SAD_L + SAD_W + 1 <= lw)
+    )
+    # Patch extraction as ONE flat gather (vmapped level-indexed dynamic_slice
+    # lowers to a ~50x slower scatter-gather on TPU; flat 1-D indexing tiles
+    # cleanly — same idiom as the descriptor sampler, ops/brief.py).
+    h0, w0 = stack_l.shape[1:]
+    cl_svl = jnp.clip(svl - SAD_W, 0, h0 - (2 * SAD_W + 1))
+    cl_sul = jnp.clip(sul - SAD_W, 0, w0 - (2 * SAD_W + 1))
+    cl_sur = jnp.clip(sur0 - SAD_L - SAD_W, 0, w0 - (2 * (SAD_L + SAD_W) + 1))
+    wl, ww = 2 * SAD_W + 1, 2 * (SAD_L + SAD_W) + 1
+    dy = jnp.arange(wl, dtype=jnp.int32)
+    base = oct_l * (h0 * w0) + cl_svl * w0  # (K,)
+    rows = base[:, None] + dy[None, :] * w0  # (K, 11)
+    flat_l = stack_l.reshape(-1).astype(jnp.int32)
+    flat_r = stack_r.reshape(-1).astype(jnp.int32)
+    idx_l = rows[:, :, None] + (cl_sul[:, None, None] + jnp.arange(wl, dtype=jnp.int32))
+    idx_r = rows[:, :, None] + (cl_sur[:, None, None] + jnp.arange(ww, dtype=jnp.int32))
+    p_l = flat_l[idx_l]  # (K, 11, 11)
+    p_r = flat_r[idx_r]  # (K, 11, 21)
+    dists = jnp.stack(
+        [
+            jnp.abs(p_l - p_r[:, :, j : j + wl]).sum(axis=(1, 2))
+            for j in range(2 * SAD_L + 1)
+        ],
+        axis=1,
+    )  # (K, 11)
+    best_j = jnp.argmin(dists, axis=1).astype(jnp.int32)
+    sad = jnp.take_along_axis(dists, best_j[:, None], axis=1)[:, 0]
+    inc_ok = (best_j > 0) & (best_j < 2 * SAD_L)
+    jm = jnp.clip(best_j, 1, 2 * SAD_L - 1)
+    d1 = jnp.take_along_axis(dists, (jm - 1)[:, None], axis=1)[:, 0].astype(jnp.float32)
+    d2 = jnp.take_along_axis(dists, jm[:, None], axis=1)[:, 0].astype(jnp.float32)
+    d3 = jnp.take_along_axis(dists, (jm + 1)[:, None], axis=1)[:, 0].astype(jnp.float32)
+    denom = 2.0 * (d1 + d3 - 2.0 * d2)
+    delta = jnp.where(denom != 0, (d1 - d3) / denom, 0.0)
+    delta_ok = (delta >= -1.0) & (delta <= 1.0)
+
+    best_ur = scales[oct_l] * (
+        sur0.astype(jnp.float32) + (best_j - SAD_L).astype(jnp.float32) + delta
+    )
+    disparity = ul - best_ur
+    disp_ok = (disparity >= 0.0) & (disparity < max_d)
+    clamped = disparity <= 0.0
+    disparity = jnp.where(clamped, 0.01, disparity)
+    best_ur = jnp.where(clamped, ul - 0.01, best_ur)
+
+    ok = tentative & in_bounds & inc_ok & delta_ok & disp_ok
+
+    # --- median-of-SAD outlier filter ------------------------------------
+    n_ok = ok.sum()
+    sorted_sad = jnp.sort(jnp.where(ok, sad, BIG))
+    median = sorted_sad[jnp.minimum(n_ok // 2, sad.shape[0] - 1)].astype(jnp.float32)
+    th = 1.5 * 1.4 * median
+    ok = ok & jnp.where(n_ok > 0, sad.astype(jnp.float32) < th, False)
+
+    u_right = jnp.where(ok, best_ur, -1.0)
+    depth = jnp.where(ok, mbf / disparity, -1.0)
+    return u_right, depth
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def extract_and_match_stereo(
+    pair: jax.Array,
+    params: PyramidParams,
+    mbf: float = DEFAULT_MBF,
+    fx: float = DEFAULT_FX,
+) -> StereoFrameFeatures:
+    """pair: (2, H, W) uint8 — the full stereo perception front-end, fused."""
+    pyr_l = build_pyramid(pair[0], params)
+    pyr_r = build_pyramid(pair[1], params)
+    feat_l = extract_from_pyramid(pyr_l, params)
+    feat_r = extract_from_pyramid(pyr_r, params)
+    stack_l = _pyramid_stack(pyr_l)
+    stack_r = _pyramid_stack(pyr_r)
+    level_hw = np.array([lvl.shape for lvl in pyr_l], np.int32)
+    u_right, depth = stereo_match(
+        feat_l,
+        feat_r,
+        stack_l,
+        stack_r,
+        level_hw,
+        params.scale_factors.astype(np.float32),
+        mbf,
+        mbf / fx,
+    )
+    return StereoFrameFeatures(feat_l, feat_r, u_right, depth)

@@ -62,7 +62,13 @@ def extract_features(
     image: jax.Array, params: PyramidParams
 ) -> FrameFeatures:
     """Full ORB extraction of one grayscale uint8 image. Trace-once per shape."""
-    pyramid = build_pyramid(image, params)
+    return extract_from_pyramid(build_pyramid(image, params), params)
+
+
+def extract_from_pyramid(
+    pyramid: list[jax.Array], params: PyramidParams
+) -> FrameFeatures:
+    """Extraction given a prebuilt pyramid (lets callers reuse the levels)."""
     quotas = [int(q) for q in params.features_per_level()]
     scales = params.scale_factors
     b = FAST_BORDER

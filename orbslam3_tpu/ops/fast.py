@@ -48,20 +48,29 @@ def _arc_score(d: jax.Array) -> jax.Array:
     return m9.max(axis=0)
 
 
-@functools.partial(jax.jit, static_argnums=1)
-def fast_score_map(img: jax.Array, threshold: int) -> jax.Array:
-    """Per-pixel FAST corner score (0 where not a corner at `threshold`)."""
+def raw_score_map(img: jax.Array) -> jax.Array:
+    """Threshold-free FAST corner score (max t at which the pixel is a corner).
+
+    Computed once; any thresholded map is `where(raw >= t, raw, 0)` — the
+    two-threshold retry therefore costs one score evaluation, not two.
+    """
     h, w = img.shape
     c = img.astype(jnp.int32)
     ring = _ring_planes(c)
     d_bright = ring - c[None]
     score = jnp.maximum(_arc_score(d_bright), _arc_score(-d_bright)) - 1
-    score = jnp.where(score >= threshold, score, 0)
     # 3-px frame where the ring would wrap
     ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     inner = (ys >= 3) & (ys < h - 3) & (xs >= 3) & (xs < w - 3)
     return jnp.where(inner, score, 0)
+
+
+@functools.partial(jax.jit, static_argnums=1)
+def fast_score_map(img: jax.Array, threshold: int) -> jax.Array:
+    """Per-pixel FAST corner score (0 where not a corner at `threshold`)."""
+    raw = raw_score_map(img)
+    return jnp.where(raw >= threshold, raw, 0)
 
 
 @jax.jit
@@ -87,8 +96,9 @@ def detect_two_threshold(crop: jax.Array, ini_th: int, min_th: int) -> jax.Array
     maps are elementwise; the retry is a tile-reduced select, not a relaunch).
     """
     h, w = crop.shape
-    hi = fast_score_map(crop, ini_th)
-    lo = fast_score_map(crop, min_th)
+    raw = raw_score_map(crop)
+    hi = jnp.where(raw >= ini_th, raw, 0)
+    lo = jnp.where(raw >= min_th, raw, 0)
     th, tw = math.ceil(h / TILE), math.ceil(w / TILE)
     hi_pad = jnp.zeros((th * TILE, tw * TILE), hi.dtype).at[:h, :w].set(hi)
     tile_has = hi_pad.reshape(th, TILE, tw, TILE).max(axis=(1, 3)) > 0

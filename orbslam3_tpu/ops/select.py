@@ -45,25 +45,37 @@ def select_topk_grid(score: jax.Array, k: int) -> tuple[jax.Array, jax.Array, ja
     ph, pw = gy * cell, gx * cell
     padded = jnp.zeros((ph, pw), score.dtype).at[:h, :w].set(score)
 
-    cells = padded.reshape(gy, cell, gx, cell).transpose(0, 2, 1, 3).reshape(gy * gx, cell * cell)
-    cmax = cells.max(axis=1)
-    carg = jnp.argmax(cells, axis=1)
-    cell_ids = jnp.arange(gy * gx, dtype=jnp.int32)
-    wy = (cell_ids // gx) * cell + (carg // cell).astype(jnp.int32)
-    wx = (cell_ids % gx) * cell + (carg % cell).astype(jnp.int32)
+    def grid_maxima(m: jax.Array, c: int, mh: int = ph, mw: int = pw):
+        """Per-cell (max, y, x) for cell size c over the (mh, mw) map."""
+        ny, nx = mh // c, mw // c
+        cells = m.reshape(ny, c, nx, c).transpose(0, 2, 1, 3).reshape(ny * nx, c * c)
+        cmax = cells.max(axis=1)
+        carg = jnp.argmax(cells, axis=1)
+        ids = jnp.arange(ny * nx, dtype=jnp.int32)
+        cy = (ids // nx) * c + (carg // c).astype(jnp.int32)
+        cx = (ids % nx) * c + (carg % c).astype(jnp.int32)
+        return cmax, cy, cx
 
-    # residual pool: winner positions suppressed, then global top-k
-    resid = padded.at[wy, wx].set(0).reshape(-1)
-    rresp, ridx = jax.lax.top_k(resid, k)
-    ry = (ridx // pw).astype(jnp.int32)
-    rx = (ridx % pw).astype(jnp.int32)
+    cmax, wy, wx = grid_maxima(padded, cell)
 
-    resp = jnp.concatenate([cmax, rresp])
-    ys = jnp.concatenate([wy, ry])
-    xs = jnp.concatenate([wx, rx])
+    # Residual pool: winners suppressed, then best-per-fine-cell (a 4x finer
+    # grid).  A global lax.top_k over the whole map would sort ~350K values
+    # (milliseconds); per-fine-cell maxima + a top-k over <=4k candidates is
+    # the same spatial-uniformity objective at ~zero cost.
+    resid = padded.at[wy, wx].set(0)
+    fine = max(cell // 2, 1)
+    fy, fx = math.ceil(ph / fine), math.ceil(pw / fine)
+    resid = jnp.zeros((fy * fine, fx * fine), score.dtype).at[:ph, :pw].set(resid)
+    rresp, ry, rx = grid_maxima(resid, fine, fy * fine, fx * fine)
+
+    # zero-pad the candidate pool so it always holds >= k entries
+    zpad = jnp.zeros((k,), jnp.int32)
+    resp = jnp.concatenate([cmax, rresp, zpad])
+    ys = jnp.concatenate([wy, ry, zpad])
+    xs = jnp.concatenate([wx, rx, zpad])
     # cell winners take absolute priority; invalid slots sink below everything
     is_winner = jnp.concatenate(
-        [jnp.ones_like(cmax), jnp.zeros_like(rresp)]
+        [jnp.ones_like(cmax), jnp.zeros_like(rresp), zpad]
     ).astype(jnp.float32)
     key = jnp.where(resp > 0, is_winner * 1e6 + resp.astype(jnp.float32), -1.0)
     top_key, sel = jax.lax.top_k(key, k)

@@ -7,12 +7,18 @@ mesh exactly as they would on real ICI-connected chips.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+# The axon TPU plugin (registered via sitecustomize) force-selects itself as
+# jax_platforms="axon,cpu" regardless of the JAX_PLATFORMS env var; config
+# update after import is the reliable way to pin tests to the CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

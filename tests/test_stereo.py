@@ -1,0 +1,67 @@
+"""Device stereo LR matcher vs the CPU oracle (bit-exact parity)."""
+
+import numpy as np
+import jax
+
+from orbslam3_tpu.oracle.orb_cpu import PyramidParams, build_pyramid as oracle_pyramid
+from orbslam3_tpu.oracle import stereo_cpu
+from orbslam3_tpu.frontend.stereo_frame import extract_and_match_stereo
+
+MBF, FX = 47.9064, 435.2047
+
+
+def shifted_pair(img: np.ndarray, shift: int = 12) -> np.ndarray:
+    """Synthetic rectified pair: right = left shifted by a constant disparity."""
+    right = np.roll(img, -shift, axis=1)
+    right[:, -shift:] = img[:, -shift:]
+    return np.stack([img, right])
+
+
+def test_stereo_match_parity(small_image):
+    params = PyramidParams(n_features=300)
+    pair = shifted_pair(small_image)
+    out = extract_and_match_stereo(pair, params, MBF, FX)
+    out = jax.tree.map(np.asarray, out)
+
+    valid = out.left.valid
+    kps_l = np.stack(
+        [out.left.xy[:, 0], out.left.xy[:, 1], out.left.octave, out.left.angle], 1
+    )[valid]
+    kps_r = np.stack(
+        [out.right.xy[:, 0], out.right.xy[:, 1], out.right.octave, out.right.angle], 1
+    )[out.right.valid]
+    pyr_l = oracle_pyramid(pair[0], params)
+    pyr_r = oracle_pyramid(pair[1], params)
+    u_ref, d_ref = stereo_cpu.compute_stereo_matches(
+        kps_l,
+        out.left.desc[valid],
+        kps_r,
+        out.right.desc[out.right.valid],
+        pyr_l,
+        pyr_r,
+        params.scale_factors,
+        MBF,
+        MBF / FX,
+    )
+    u_dev = out.u_right[valid]
+    d_dev = out.depth[valid]
+    matched_ref = u_ref >= 0
+    matched_dev = u_dev >= 0
+    np.testing.assert_array_equal(matched_dev, matched_ref)
+    assert matched_ref.sum() > 20, "expected a healthy number of stereo matches"
+    np.testing.assert_allclose(u_dev[matched_dev], u_ref[matched_ref], atol=1e-4)
+    np.testing.assert_allclose(d_dev[matched_dev], d_ref[matched_ref], rtol=1e-5)
+
+
+def test_stereo_disparity_recovers_shift(small_image):
+    params = PyramidParams(n_features=300)
+    shift = 9
+    pair = shifted_pair(small_image, shift)
+    out = extract_and_match_stereo(pair, params, MBF, FX)
+    u_r = np.asarray(out.u_right)
+    xy = np.asarray(out.left.xy)
+    m = u_r >= 0
+    disp = xy[m, 0] - u_r[m]
+    # most matched keypoints should see the constant synthetic disparity
+    frac = np.mean(np.abs(disp - shift) < 1.0)
+    assert frac > 0.8, f"only {frac:.0%} of disparities near {shift}"
