@@ -27,7 +27,7 @@ from orbslam3_tpu.ops.pyramid import build_pyramid, gaussian_blur7_u8
 from orbslam3_tpu.ops.fast import detect_two_threshold
 from orbslam3_tpu.ops.select import select_topk_grid
 from orbslam3_tpu.ops.orientation import ic_angles
-from orbslam3_tpu.ops.brief import brief_descriptors
+from orbslam3_tpu.ops.brief import brief_descriptors, brief_sampling_image
 
 
 class FrameFeatures(NamedTuple):
@@ -88,7 +88,8 @@ def extract_from_pyramid(
         safe_xy = jnp.where(valid[:, None], xy_i, b + 3)  # keep slices in-bounds
         angles = ic_angles(img, safe_xy)
         blurred = gaussian_blur7_u8(img)
-        desc = brief_descriptors(blurred, safe_xy.astype(jnp.float32), angles)
+        samp = brief_sampling_image(img, blurred)
+        desc = brief_descriptors(samp, safe_xy.astype(jnp.float32), angles)
         scale = float(scales[level])
         blk = FrameFeatures(
             xy=xy_i.astype(jnp.float32) * (scale if level != 0 else 1.0),

@@ -21,18 +21,21 @@ _W10_NP, _W01_NP = ic_moment_weights()
 
 
 def patch_moments(img: jax.Array, xy: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """(m10, m01) int32 moments of the circular 31x31 patches at integer xy."""
-    w10 = jnp.asarray(_W10_NP, jnp.int32)
-    w01 = jnp.asarray(_W01_NP, jnp.int32)
-    r = HALF_PATCH_SIZE
+    """(m10, m01) moments of the circular 31x31 patches at integer xy.
 
-    def one(pt):
-        patch = jax.lax.dynamic_slice(
-            img, (pt[1] - r, pt[0] - r), (2 * r + 1, 2 * r + 1)
-        ).astype(jnp.int32)
-        return jnp.sum(patch * w10), jnp.sum(patch * w01)
+    Patches ride the MXU (ops/patches.py); the weighted reductions are
+    bf16 x bf16 -> f32 einsums (weights in [-15, 15] and pixels <= 255 are
+    bf16-exact; |moments| <= 3.7M < 2^24 is f32-exact), so results equal the
+    oracle's integer sums bit-for-bit.
+    """
+    from orbslam3_tpu.ops.patches import extract_patches
 
-    return jax.vmap(one)(xy)
+    w10 = jnp.asarray(_W10_NP, jnp.bfloat16)
+    w01 = jnp.asarray(_W01_NP, jnp.bfloat16)
+    patches = extract_patches(img, xy, HALF_PATCH_SIZE).astype(jnp.bfloat16)
+    m10 = jnp.einsum("kpq,pq->k", patches, w10, preferred_element_type=jnp.float32)
+    m01 = jnp.einsum("kpq,pq->k", patches, w01, preferred_element_type=jnp.float32)
+    return m10, m01
 
 
 @jax.jit

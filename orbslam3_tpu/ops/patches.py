@@ -1,0 +1,74 @@
+"""Per-keypoint patch extraction and sampling as one-hot MXU einsums.
+
+The generic TPU gather unit runs at ~0.1M elements/ms (measured on v5e),
+making per-keypoint patch gathers the dominant extraction cost (the rBRIEF
+sampler alone needs 512K samples/frame -> ~5 ms as a gather).  The MXU
+instead delivers the same values as batched matmuls against one-hot
+selection matrices at >100x the rate:
+
+    patch[k] = rowOH[k] @ img @ colOH[k]^T     (separable selection)
+    sample[k, s] = rowOH2[k, s] . patch[k] . colOH2[k, s]
+
+Exactness: every operand is a small non-negative integer (pixels <= 255,
+one-hots 0/1) — all exactly representable in bfloat16 — and contractions
+accumulate in float32 (exact for integers < 2^24), so results are
+bit-identical to the gather formulation.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def onehot_bf16(idx: jax.Array, n: int) -> jax.Array:
+    """0/1 bf16 one-hot over the last axis: out[..., j] = (idx == j)."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, idx.shape + (n,), idx.ndim)
+    return (idx[..., None] == iota).astype(jnp.bfloat16)
+
+
+def extract_patches(img: jax.Array, xy: jax.Array, half: int) -> jax.Array:
+    """(K, 2*half+1, 2*half+1) f32 patches centered at integer xy (K, 2).
+
+    img: (H, W) uint8 (or any small-int); centers must keep the patch
+    in-bounds (callers guarantee this via detection borders / padding).
+    """
+    h, w = img.shape
+    p = 2 * half + 1
+    off = jnp.arange(p, dtype=jnp.int32)
+    rows = xy[:, 1][:, None] - half + off[None, :]  # (K, P)
+    cols = xy[:, 0][:, None] - half + off[None, :]
+    row_oh = onehot_bf16(rows, h)                   # (K, P, H)
+    col_oh = onehot_bf16(cols, w)                   # (K, P, W)
+    imgb = img.astype(jnp.bfloat16)
+    strips = jnp.einsum(
+        "kph,hw->kpw", row_oh, imgb, preferred_element_type=jnp.float32
+    )
+    return jnp.einsum(
+        "kpw,kqw->kpq",
+        strips.astype(jnp.bfloat16),
+        col_oh,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def sample_patches(patches: jax.Array, r: jax.Array, c: jax.Array) -> jax.Array:
+    """samples[k, s] = patches[k, r[k, s], c[k, s]] via separable one-hots.
+
+    patches: (K, P, P) f32 with small-int values; r, c: (K, S) int32 in [0, P).
+    """
+    p = patches.shape[-1]
+    row_oh = onehot_bf16(r, p)  # (K, S, P)
+    col_oh = onehot_bf16(c, p)
+    strips = jnp.einsum(
+        "ksp,kpq->ksq",
+        row_oh,
+        patches.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.einsum(
+        "ksq,ksq->ks",
+        strips.astype(jnp.bfloat16),
+        col_oh,
+        preferred_element_type=jnp.float32,
+    )

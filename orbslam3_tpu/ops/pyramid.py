@@ -29,21 +29,62 @@ _BLUR_K = [int(v) for v in gaussian_kernel7_fixed()]
 _BLUR_HALF = 1 << 15
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def resize_linear_u8(src: jax.Array, dh: int, dw: int) -> jax.Array:
-    """Bit-exact cv2 INTER_LINEAR 8u resize (11-bit taps, 22-bit accumulator)."""
-    sh, sw = src.shape
+@functools.lru_cache(maxsize=None)
+def _resize_mats(sh: int, sw: int, dh: int, dw: int):
+    """Constant selection/tap matrices for one resize geometry.
+
+    The horizontal pass a0*s[sx] + a1*s[sx+1] is a matmul against a (sw, dw)
+    two-nonzeros-per-column tap matrix; the vertical pass needs its two row
+    selections separately (per-term truncation), i.e. two (dh, sh) one-hot
+    matrices.  These ride the MXU instead of element gathers (~100x slower
+    on TPU).  Exactness: the 11-bit taps don't fit bf16, so the tap matrix
+    is pre-split into two bf16-exact parts (hi + lo); bf16 x bf16 products
+    accumulate exactly in f32 and every partial sum stays < 2^24.
+    """
+    import ml_dtypes
+
     sx, ax0, ax1 = _linear_coeffs(dw, sw)
     sy, by0, by1 = _linear_coeffs(dh, sh)
     sx1 = np.minimum(sx + 1, sw - 1)
     sy1 = np.minimum(sy + 1, sh - 1)
-    s = src.astype(jnp.int32)
-    rows = s[:, sx] * jnp.asarray(ax0, jnp.int32) + s[:, sx1] * jnp.asarray(ax1, jnp.int32)
-    r0 = rows[sy, :]
-    r1 = rows[sy1, :]
-    by0 = jnp.asarray(by0, jnp.int32)[:, None]
-    by1 = jnp.asarray(by1, jnp.int32)[:, None]
-    out = (((by0 * (r0 >> 4)) >> 16) + ((by1 * (r1 >> 4)) >> 16) + 2) >> 2
+    mx = np.zeros((sw, dw), np.float32)
+    np.add.at(mx, (sx, np.arange(dw)), ax0.astype(np.float32))
+    np.add.at(mx, (sx1, np.arange(dw)), ax1.astype(np.float32))
+    mx_hi = mx.astype(ml_dtypes.bfloat16)
+    mx_lo = (mx - mx_hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    assert (mx_hi.astype(np.float32) + mx_lo.astype(np.float32) == mx).all()
+    s0 = np.zeros((dh, sh), ml_dtypes.bfloat16)
+    s0[np.arange(dh), sy] = 1.0
+    s1 = np.zeros((dh, sh), ml_dtypes.bfloat16)
+    s1[np.arange(dh), sy1] = 1.0
+    return mx_hi, mx_lo, s0, s1, by0.astype(np.int32), by1.astype(np.int32)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def resize_linear_u8(src: jax.Array, dh: int, dw: int) -> jax.Array:
+    """Bit-exact cv2 INTER_LINEAR 8u resize (11-bit taps, 22-bit accumulator)."""
+    sh, sw = src.shape
+    mx_hi, mx_lo, s0, s1, by0, by1 = _resize_mats(sh, sw, dh, dw)
+    srcb = src.astype(jnp.bfloat16)  # pixels <= 255 are bf16-exact
+    rows = jnp.dot(srcb, jnp.asarray(mx_hi), preferred_element_type=jnp.float32)
+    rows = rows + jnp.dot(srcb, jnp.asarray(mx_lo), preferred_element_type=jnp.float32)
+    rows4 = rows.astype(jnp.int32) >> 4  # <= 32640 (15 bits)
+    # split into two bf16-exact bytes for the one-hot row selections
+    hi = (rows4 >> 8).astype(jnp.bfloat16)
+    lo = (rows4 & 255).astype(jnp.bfloat16)
+
+    def select(sel):
+        sel = jnp.asarray(sel)
+        return (
+            jnp.dot(sel, hi, preferred_element_type=jnp.float32) * 256.0
+            + jnp.dot(sel, lo, preferred_element_type=jnp.float32)
+        ).astype(jnp.int32)
+
+    r0 = select(s0)
+    r1 = select(s1)
+    by0 = jnp.asarray(by0)[:, None]
+    by1 = jnp.asarray(by1)[:, None]
+    out = (((by0 * r0) >> 16) + ((by1 * r1) >> 16) + 2) >> 2
     return jnp.clip(out, 0, 255).astype(jnp.uint8)
 
 

@@ -412,11 +412,32 @@ def ic_angles(img: np.ndarray, pts: np.ndarray) -> np.ndarray:
 # rBRIEF descriptors
 # ---------------------------------------------------------------------------
 
+BRIEF_PAD = 19  # descriptor sampling border (EDGE_THRESHOLD in the reference)
+
+
+def brief_sampling_image(raw: np.ndarray, blurred: np.ndarray) -> np.ndarray:
+    """Composite the descriptor-sampling buffer: blurred interior inside a
+    BRIEF_PAD-wide reflect-101 border of the *raw* level image.
+
+    The rotated pattern reaches up to 18 px from the center while keypoints
+    sit only >= 16 px from the level edge, so samples can fall up to 2 px
+    outside the level.  The reference keeps each pyramid level as a view
+    inside a 19-px reflect-101-bordered allocation built from the resized
+    (unblurred) image and blurs only the interior view — out-of-view samples
+    therefore read *unblurred* reflected pixels.  This reproduces exactly
+    that buffer.
+    """
+    pad = np.pad(raw, BRIEF_PAD, mode="reflect")  # reflect-101
+    pad[BRIEF_PAD:-BRIEF_PAD, BRIEF_PAD:-BRIEF_PAD] = blurred
+    return pad
+
+
 def brief_descriptors(
     blurred: np.ndarray,
     pts: np.ndarray,
     angles_deg: np.ndarray,
     trig: tuple[np.ndarray, np.ndarray] | None = None,
+    raw: np.ndarray | None = None,
 ) -> np.ndarray:
     """256-bit rBRIEF (32 uint8) with rotated pattern; bit-exact spec.
 
@@ -424,11 +445,16 @@ def brief_descriptors(
     (row, col) around the rounded keypoint center; bit i of byte b set when
     I(p0) < I(p1) for pair index 16*b + 2i (computeOrbDescriptor, :105-149).
     Angles are quantised through float32 radians like the reference.
+    Samples come from the bordered composite (`brief_sampling_image`); pass
+    `raw` to enable the exact border semantics (defaults to reflecting the
+    blurred image itself when absent).
     """
     n = len(pts)
     desc = np.zeros((n, 32), dtype=np.uint8)
     pat = BIT_PATTERN_31  # (256, 4)
-    img = blurred.astype(np.int32)
+    img = brief_sampling_image(
+        raw if raw is not None else blurred, blurred
+    ).astype(np.int32)
     for i in range(n):
         if trig is not None:
             a = np.float32(trig[0][i])
@@ -437,8 +463,8 @@ def brief_descriptors(
             ang = np.float32(angles_deg[i]) * np.float32(math.pi / 180.0)
             a = np.float32(math.cos(ang))
             b = np.float32(math.sin(ang))
-        cy = int(cv_round(pts[i, 1]))
-        cx = int(cv_round(pts[i, 0]))
+        cy = int(cv_round(pts[i, 1])) + BRIEF_PAD
+        cx = int(cv_round(pts[i, 0])) + BRIEF_PAD
         # all rotation arithmetic in float32, matching the f32 device path
         pf = pat.astype(np.float32)
         px0, py0, px1, py1 = pf[:, 0], pf[:, 1], pf[:, 2], pf[:, 3]
@@ -493,7 +519,7 @@ def extract(
         pts = sel[:, :2] + min_b  # add border back (addBorder_kernel semantics)
         angles = ic_angles(img, pts)
         blurred = gaussian_blur7_u8(img)
-        desc = brief_descriptors(blurred, pts, angles)
+        desc = brief_descriptors(blurred, pts, angles, raw=img)
         scale = scale_factors[level]
         kps = np.zeros((len(sel), 5), dtype=np.float32)
         kps[:, :2] = pts * scale if level != 0 else pts

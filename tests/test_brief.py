@@ -42,10 +42,11 @@ def test_descriptors_bit_exact_given_trig(test_image):
     cos = np.cos(rad.astype(np.float64)).astype(np.float32)
     sin = np.sin(rad.astype(np.float64)).astype(np.float32)
     blurred = oc.gaussian_blur7_u8(test_image)
-    want = oc.brief_descriptors(blurred, pts, angles, trig=(cos, sin))
+    want = oc.brief_descriptors(blurred, pts, angles, trig=(cos, sin), raw=test_image)
+    samp = db.brief_sampling_image(jnp.asarray(test_image), jnp.asarray(blurred))
     got = np.asarray(
         db.brief_descriptors(
-            jnp.asarray(blurred), jnp.asarray(pts), jnp.asarray(angles),
+            samp, jnp.asarray(pts), jnp.asarray(angles),
             trig=(jnp.asarray(cos), jnp.asarray(sin)),
         )
     )
@@ -59,9 +60,10 @@ def test_descriptors_zero_angle_bit_exact(test_image):
     pts = _keypoints_for(test_image)
     angles = np.zeros(len(pts), np.float32)
     blurred = oc.gaussian_blur7_u8(test_image)
-    want = oc.brief_descriptors(blurred, pts, angles)
+    want = oc.brief_descriptors(blurred, pts, angles, raw=test_image)
+    samp = db.brief_sampling_image(jnp.asarray(test_image), jnp.asarray(blurred))
     got = np.asarray(
-        db.brief_descriptors(jnp.asarray(blurred), jnp.asarray(pts), jnp.asarray(angles))
+        db.brief_descriptors(samp, jnp.asarray(pts), jnp.asarray(angles))
     )
     np.testing.assert_array_equal(want, got)
 
@@ -74,9 +76,10 @@ def test_descriptors_platform_trig_near_exact(test_image):
     pts = _keypoints_for(test_image)
     angles = oc.ic_angles(test_image, pts)
     blurred = oc.gaussian_blur7_u8(test_image)
-    want = oc.brief_descriptors(blurred, pts, angles)
+    want = oc.brief_descriptors(blurred, pts, angles, raw=test_image)
+    samp = db.brief_sampling_image(jnp.asarray(test_image), jnp.asarray(blurred))
     got = np.asarray(
-        db.brief_descriptors(jnp.asarray(blurred), jnp.asarray(pts), jnp.asarray(angles))
+        db.brief_descriptors(samp, jnp.asarray(pts), jnp.asarray(angles))
     )
     bits = np.unpackbits(want ^ got, axis=1).sum(axis=1)
     assert (bits == 0).mean() > 0.95

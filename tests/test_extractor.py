@@ -61,7 +61,7 @@ def test_extractor_descriptors_match_oracle_pointwise(test_image):
         d = np.minimum(d, 360 - d)
         assert d.max() < 1e-3
         blurred = oc.gaussian_blur7_u8(pyr[lvl])
-        want_desc = oc.brief_descriptors(blurred, pts, want_ang)
+        want_desc = oc.brief_descriptors(blurred, pts, want_ang, raw=pyr[lvl])
         diff_bits = np.unpackbits(want_desc ^ feats["desc"][sel], axis=1).sum(1)
         total += len(sel)
         exact += int((diff_bits == 0).sum())
