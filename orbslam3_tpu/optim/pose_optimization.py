@@ -64,6 +64,16 @@ def _residuals_jac(T: SE3, o: PoseObservations):
     return res, -jac, stereo
 
 
+# Graduated robustification: round r uses a Huber delta scaled by
+# _DELTA_SCALE[r] and classifies outliers at chi2 * _CHI2_SCALE[r].  The
+# reference keeps both constant (Optimizer2.cc chi2Mono = {5.991 x4});
+# annealing widens the basin of attraction under structured outliers
+# (drift-consistent VO points / aliased matches) without changing the
+# final-round acceptance criterion.
+_DELTA_SCALE = (3.0, 1.5, 1.0, 1.0)
+_CHI2_SCALE = (6.0, 2.5, 1.0, 1.0)
+
+
 def pose_optimization(
     T_init: SE3, obs: PoseObservations, n_rounds: int = 4, n_iters: int = 10
 ) -> tuple[SE3, np.ndarray, int]:
@@ -73,12 +83,13 @@ def pose_optimization(
         return T_init.copy(), np.zeros(n, bool), 0
     T = T_init.copy()
     stereo = obs.obs_ur >= 0
-    chi2_th = np.where(stereo, CHI2_STEREO, CHI2_MONO)
-    delta = np.sqrt(chi2_th)
+    chi2_base = np.where(stereo, CHI2_STEREO, CHI2_MONO)
     inlier = np.ones(n, bool)
 
     for rnd in range(n_rounds):
         use_huber = rnd < 3
+        chi2_th = chi2_base * _CHI2_SCALE[min(rnd, len(_CHI2_SCALE) - 1)]
+        delta = np.sqrt(chi2_base) * _DELTA_SCALE[min(rnd, len(_DELTA_SCALE) - 1)]
         lam = 1e-4
         T_rnd = T.copy()
         res, jac, _ = _residuals_jac(T_rnd, obs)

@@ -1,0 +1,273 @@
+"""Local mapping: keyframe processing, triangulation, fusion, local BA,
+culling.
+
+Role-parity with /root/reference/src/LocalMapping.cc (1,522 LoC) —
+ProcessNewKeyFrame (:298), MapPointCulling (:346), CreateNewMapPoints
+(:388), SearchInNeighbors (:714), KeyFrameCulling (:902) — as a class that
+can run either synchronously (deterministic; called per inserted KF) or on
+a worker thread (System starts it with spin()).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import numpy as np
+
+from orbslam3_tpu.optim.local_ba import local_bundle_adjustment
+from orbslam3_tpu.optim.triangulate import triangulate_linear
+from orbslam3_tpu.slam import matchers
+from orbslam3_tpu.slam.map_point import MapPoint
+
+
+class LocalMapping:
+    def __init__(self, atlas, monocular: bool = False, sequential: bool = True):
+        self.atlas = atlas
+        self.monocular = monocular
+        self.sequential = sequential
+        self.recent_map_points: list[MapPoint] = []
+        self.kf_queue: queue.Queue = queue.Queue()
+        self.cur_kf = None
+        self.abort_ba = False
+        self.finished = False
+        self.loop_closer = None
+        self._idle = True
+        self._accept_kfs = True
+
+    # --- public API ----------------------------------------------------
+    def insert_keyframe(self, kf):
+        if self.sequential:
+            self.cur_kf = kf
+            self._process(kf)
+        else:
+            self.kf_queue.put(kf)
+
+    def accept_keyframes(self) -> bool:
+        return self._accept_kfs
+
+    def queue_size(self) -> int:
+        return self.kf_queue.qsize()
+
+    def spin(self):
+        """Worker-thread loop (LocalMapping::Run)."""
+        while not self.finished:
+            try:
+                kf = self.kf_queue.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            self._idle = False
+            self._accept_kfs = False
+            self._process(kf)
+            self._accept_kfs = True
+            self._idle = True
+
+    def request_finish(self):
+        self.finished = True
+
+    # --- pipeline -------------------------------------------------------
+    def _process(self, kf):
+        self._process_new_keyframe(kf)
+        self._cull_map_points(kf)
+        self._create_new_map_points(kf)
+        if self.sequential or self.kf_queue.empty():
+            self._search_in_neighbors(kf)
+            m = self.atlas.get_current_map()
+            if m.n_keyframes() > 2:
+                local_bundle_adjustment(kf, m)
+            self._cull_keyframes(kf)
+        if self.loop_closer is not None:
+            self.loop_closer.insert_keyframe(kf)
+
+    def _process_new_keyframe(self, kf):
+        for i, mp in enumerate(kf.map_points):
+            if mp is None or mp.bad:
+                continue
+            if kf not in mp.observations:
+                mp.add_observation(kf, i)
+                mp.update_normal_and_depth()
+                mp.compute_distinctive_descriptor()
+            else:
+                # duplicated during creation: leave for culling watch-list
+                self.recent_map_points.append(mp)
+        kf.update_connections()
+        self.atlas.add_keyframe(kf)
+
+    def _cull_map_points(self, kf):
+        """MapPointCulling: drop weak recent points (LocalMapping.cc:346)."""
+        cur_id = kf.id
+        th_obs = 2 if self.monocular else 3
+        keep = []
+        for mp in self.recent_map_points:
+            if mp.bad:
+                continue
+            if mp.found_ratio < 0.25:
+                mp.set_bad()
+            elif cur_id - mp.first_kf_id >= 2 and mp.n_obs <= th_obs:
+                mp.set_bad()
+            elif cur_id - mp.first_kf_id >= 3:
+                pass  # graduated
+            else:
+                keep.append(mp)
+        self.recent_map_points = keep
+
+    def _create_new_map_points(self, kf):
+        """Triangulate with best covisible neighbors (LocalMapping.cc:388)."""
+        n_neighbors = 10 if not self.monocular else 20
+        neighbors = kf.get_best_covisibility_keyframes(n_neighbors)
+        m = self.atlas.get_current_map()
+        ow1 = kf.camera_center()
+        created = 0
+        for kf2 in neighbors:
+            if kf2.bad:
+                continue
+            ow2 = kf2.camera_center()
+            baseline = np.linalg.norm(ow2 - ow1)
+            if not self.monocular:
+                if baseline < kf2.mb:
+                    continue
+            else:
+                depths = [
+                    np.linalg.norm(kf2.Tcw * mp.position)
+                    for _, mp in kf2.get_map_point_indices()[:50]
+                ]
+                med = np.median(depths) if depths else 1.0
+                if baseline / max(med, 1e-9) < 0.01:
+                    continue
+            pairs = matchers.search_for_triangulation(kf, kf2)
+            if not pairs:
+                continue
+            T1, T2 = kf.Tcw, kf2.Tcw
+            for i1, i2 in pairs:
+                b1 = kf.camera.unproject(kf.kps_un[i1 : i1 + 1])[0]
+                b2 = kf2.camera.unproject(kf2.kps_un[i2 : i2 + 1])[0]
+                # parallax between rays
+                r1 = T1.R.T @ b1
+                r2 = T2.R.T @ b2
+                cos_par = r1 @ r2 / (np.linalg.norm(r1) * np.linalg.norm(r2))
+                # stereo parallax alternatives
+                cos_st1 = (
+                    np.cos(2 * np.arctan2(kf.mb / 2, kf.depth[i1]))
+                    if kf.depth[i1] > 0
+                    else 2.0
+                )
+                cos_st2 = (
+                    np.cos(2 * np.arctan2(kf2.mb / 2, kf2.depth[i2]))
+                    if kf2.depth[i2] > 0
+                    else 2.0
+                )
+                cos_st = min(cos_st1, cos_st2)
+                if 0 < cos_par < 0.9998 and cos_par < cos_st:
+                    pw = triangulate_linear(b1[None], b2[None], T1, T2)[0]
+                elif kf.depth[i1] > 0 and cos_st1 < cos_st2:
+                    pw = kf.unproject_stereo(i1)
+                elif kf2.depth[i2] > 0 and cos_st2 < cos_st1:
+                    pw = kf2.unproject_stereo(i2)
+                else:
+                    continue
+                if pw is None:
+                    continue
+                # cheirality
+                z1 = (T1 * pw)[2]
+                z2 = (T2 * pw)[2]
+                if z1 <= 0 or z2 <= 0:
+                    continue
+                # reprojection gates
+                for kfx, ix, z in ((kf, i1, z1), (kf2, i2, z2)):
+                    uv = kfx.camera.project((kfx.Tcw * pw)[None])[0]
+                    e = uv - kfx.kps_un[ix]
+                    chi = (e @ e) * kfx.inv_level_sigma2[kfx.octave[ix]]
+                    if kfx.u_right[ix] >= 0:
+                        ur_p = uv[0] - kfx.mbf / z
+                        chi += (ur_p - kfx.u_right[ix]) ** 2 * kfx.inv_level_sigma2[
+                            kfx.octave[ix]
+                        ]
+                        if chi > 7.8:
+                            break
+                    elif chi > 5.991:
+                        break
+                else:
+                    # scale-consistency
+                    d1 = np.linalg.norm(pw - ow1)
+                    d2 = np.linalg.norm(pw - ow2)
+                    if d1 == 0 or d2 == 0:
+                        continue
+                    ratio = d2 / d1
+                    sf = kf.scale_factors[1] / kf.scale_factors[0]
+                    ratio_oct = (
+                        kf.scale_factors[kf.octave[i1]]
+                        / kf2.scale_factors[kf2.octave[i2]]
+                    )
+                    if ratio / ratio_oct > sf * 1.5 or ratio_oct / ratio > sf * 1.5:
+                        continue
+                    mp = MapPoint(pw, kf, m)
+                    mp.add_observation(kf, i1)
+                    mp.add_observation(kf2, i2)
+                    kf.add_map_point(mp, i1)
+                    kf2.add_map_point(mp, i2)
+                    mp.compute_distinctive_descriptor()
+                    mp.update_normal_and_depth()
+                    m.add_map_point(mp)
+                    self.recent_map_points.append(mp)
+                    created += 1
+        return created
+
+    def _search_in_neighbors(self, kf):
+        """Fuse duplicates with 1st/2nd-order neighbors (LocalMapping.cc:714)."""
+        n = 10 if not self.monocular else 30
+        targets = []
+        seen = set()
+        for k1 in kf.get_best_covisibility_keyframes(n):
+            if k1.bad or k1 in seen:
+                continue
+            targets.append(k1)
+            seen.add(k1)
+            for k2 in k1.get_best_covisibility_keyframes(5):
+                if not k2.bad and k2 not in seen and k2 is not kf:
+                    targets.append(k2)
+                    seen.add(k2)
+        own = [mp for _, mp in kf.get_map_point_indices()]
+        for k in targets:
+            matchers.fuse(k, own)
+        fuse_candidates = []
+        cand_seen = set()
+        for k in targets:
+            for _, mp in k.get_map_point_indices():
+                if mp.id not in cand_seen:
+                    cand_seen.add(mp.id)
+                    fuse_candidates.append(mp)
+        matchers.fuse(kf, fuse_candidates)
+        for _, mp in kf.get_map_point_indices():
+            mp.compute_distinctive_descriptor()
+            mp.update_normal_and_depth()
+        kf.update_connections()
+
+    def _cull_keyframes(self, kf):
+        """Drop KFs with >=90% redundant observations (LocalMapping.cc:902)."""
+        for k in kf.get_best_covisibility_keyframes(100):
+            if k.bad or k.id == 0:
+                continue
+            n_mps, n_redundant = 0, 0
+            th_obs = 3
+            for i, mp in k.get_map_point_indices():
+                if not self.monocular and (k.depth[i] > k.mb * 35 or k.depth[i] < 0):
+                    continue
+                n_mps += 1
+                if mp.n_obs <= th_obs:
+                    continue
+                scale_level = k.octave[i]
+                n_better = 0
+                for kf_o, (left, right) in mp.observations.items():
+                    if kf_o is k or kf_o.bad:
+                        continue
+                    io = left if left >= 0 else right
+                    if io < 0:
+                        continue
+                    if kf_o.octave[io] <= scale_level + 1:
+                        n_better += 1
+                        if n_better >= th_obs:
+                            break
+                if n_better >= th_obs:
+                    n_redundant += 1
+            if n_mps > 0 and n_redundant > 0.9 * n_mps:
+                k.set_bad()

@@ -1,0 +1,400 @@
+"""Host-side ORB matching flavours (ORBmatcher role-parity).
+
+Re-implements the matching semantics of /root/reference/include/
+ORBmatcher.h + src/ORBmatcher1-3.cc (2,151 LoC): SearchByProjection
+(local-map and last-frame overloads), SearchByBoW, SearchForInitialization,
+SearchForTriangulation (epipolar), Fuse, with the TH_LOW/TH_HIGH thresholds,
+nn-ratio tests, and the 30-bin rotation-consistency histogram
+(ORBmatcher3.cc:592).  Distances are 256-bit Hamming over uint64 views
+(ORBmatcher3.cc:637 uses SWAR popcount; NumPy's bitwise_count here).
+
+The batched dense variants used by the device pipeline live in
+orbslam3_tpu.ops.matching; these host versions exist for the sequential
+tracking loop, where candidate sets are tiny and per-call device dispatch
+latency would dominate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+TH_LOW = 50
+TH_HIGH = 100
+HISTO_LENGTH = 30
+
+# Acceptance threshold for the projection matchers (motion-model and
+# local-map).  The reference accepts up to TH_HIGH=100; true same-octave
+# re-detections measure ~16-22 bits while aliased nearby corners are >=40,
+# and a wrong pairing is STICKY (the same descriptor pair re-matches every
+# frame, feeding drift-consistent evidence into pose optimization).  A
+# tighter gate breaks wrong-pair formation at negligible recall cost.
+MATCH_TH = 50
+
+
+def desc_distance(a: np.ndarray, b: np.ndarray) -> int:
+    return int(np.bitwise_count(a.view(np.uint64) ^ b.view(np.uint64)).sum())
+
+
+def _as_u64(x: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(x).view(np.uint64)
+
+
+def desc_distances(a: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """(1, 32) vs (M, 32) -> (M,) int."""
+    return np.bitwise_count(_as_u64(a)[None, :] ^ _as_u64(B)).sum(
+        axis=-1, dtype=np.int32
+    )
+
+
+def hamming_matrix_np(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    a = _as_u64(A)
+    b = _as_u64(B)
+    return np.bitwise_count(a[:, None, :] ^ b[None, :, :]).sum(axis=-1, dtype=np.int32)
+
+
+def _rotation_consistency(rot: np.ndarray, valid_idx: list[int]) -> set[int]:
+    """Indices surviving the three-maxima histogram check."""
+    if not valid_idx:
+        return set()
+    factor = HISTO_LENGTH / 360.0
+    bins = np.round(np.asarray(rot) * factor).astype(int) % HISTO_LENGTH
+    counts = np.bincount(bins, minlength=HISTO_LENGTH)
+    order = np.argsort(-counts)
+    keep_bins = {order[0]}
+    if counts[order[1]] >= 0.1 * counts[order[0]]:
+        keep_bins.add(order[1])
+    if counts[order[2]] >= 0.1 * counts[order[0]]:
+        keep_bins.add(order[2])
+    return {i for i, b in zip(valid_idx, bins) if b in keep_bins}
+
+
+def search_by_projection_local_map(frame, map_points, th: float = 1.0, ratio: float = 0.8,
+                                   far_points_th: float = 0.0):
+    """Match frame keypoints to local map points already marked in-view
+    (ORBmatcher SearchByProjection, Frame vs vector<MapPoint*>).
+    Returns number of new matches; writes frame.map_points."""
+    n_matched = 0
+    for mp in map_points:
+        if not mp.track_in_view or mp.bad:
+            continue
+        u, v, ur, level, view_cos = mp.track_proj
+        r = 2.5 if view_cos > 0.998 else 4.0
+        r *= th * frame.scale_factors[level]
+        idx = frame.features_in_area(u, v, r, level - 1, level)
+        if len(idx) == 0:
+            continue
+        d_mp = mp.descriptor
+        best, best2 = 256, 256
+        best_i, best_lvl, best2_lvl = -1, -1, -1
+        dists = desc_distances(d_mp, frame.desc[idx])
+        for k_i, i in enumerate(idx):
+            cur = frame.map_points[i]
+            if cur is not None and cur.n_obs > 0:
+                continue
+            if frame.u_right[i] >= 0 and ur >= 0:
+                if abs(ur - frame.u_right[i]) > r:
+                    continue
+            d = int(dists[k_i])
+            if d < best:
+                best2, best2_lvl = best, best_lvl
+                best, best_i, best_lvl = d, i, int(frame.octave[i])
+            elif d < best2:
+                best2, best2_lvl = d, int(frame.octave[i])
+        if best <= MATCH_TH and best_i >= 0:
+            if best_lvl == best2_lvl and best > ratio * best2:
+                continue
+            frame.map_points[best_i] = mp
+            n_matched += 1
+    return n_matched
+
+
+def search_by_projection_last_frame(cur, last, th: float, mono: bool,
+                                    check_rotation: bool = True):
+    """Motion-model matching: project last frame's map points into the
+    current frame (ORBmatcher3.cc:256 semantics)."""
+    tcw = cur.Tcw
+    tlw = last.Tcw
+    tlc = tlw * tcw.inverse()
+    tz = (tcw * tlw.inverse()).t[2]  # z of last origin in cur frame
+    forward = tz > cur.mb and not mono
+    backward = -tz > cur.mb and not mono
+
+    matches = 0
+    rot = []
+    rot_idx = []
+    assigned: dict[int, int] = {}
+    for i_last in range(last.n):
+        mp = last.map_points[i_last]
+        if mp is None or mp.bad or last.outlier[i_last]:
+            continue
+        pc = tcw * mp.position
+        if pc[2] < 0:
+            continue
+        uv = cur.camera.project(pc[None])[0]
+        if not (cur.min_x < uv[0] < cur.max_x and cur.min_y < uv[1] < cur.max_y):
+            continue
+        last_oct = int(last.octave[i_last])
+        r = th * cur.scale_factors[last_oct]
+        # Same-octave candidates first: descriptors from different pyramid
+        # levels of the same corner differ by ~80 bits (different blur),
+        # while same-level re-detections differ by ~16 — cross-octave
+        # comparisons are the dominant junk-match source.  Widen to the
+        # reference's +/-1 (or forward/backward) band only when the same
+        # level has no candidate.
+        idx = cur.features_in_area(uv[0], uv[1], r, last_oct, last_oct)
+        if len(idx) == 0:
+            if forward:
+                idx = cur.features_in_area(uv[0], uv[1], r, last_oct, -1)
+            elif backward:
+                idx = cur.features_in_area(uv[0], uv[1], r, 0, last_oct)
+            else:
+                idx = cur.features_in_area(uv[0], uv[1], r, last_oct - 1, last_oct + 1)
+        if len(idx) == 0:
+            continue
+        ur_pred = uv[0] - cur.mbf / pc[2] if cur.mbf > 0 else -1
+        best, best_i = 256, -1
+        dists = desc_distances(mp.descriptor, cur.desc[idx])
+        for k_i, i in enumerate(idx):
+            cur_mp = cur.map_points[i]
+            if cur_mp is not None and cur_mp.n_obs > 0:
+                continue
+            if cur.u_right[i] >= 0 and ur_pred >= 0:
+                if abs(ur_pred - cur.u_right[i]) > r:
+                    continue
+            d = int(dists[k_i])
+            if d < best:
+                best, best_i = d, i
+        if best <= MATCH_TH and best_i >= 0:
+            cur.map_points[best_i] = mp
+            assigned[best_i] = i_last
+            matches += 1
+            if check_rotation:
+                dr = last.angle[i_last] - cur.angle[best_i]
+                rot.append(dr + 360 if dr < 0 else dr)
+                rot_idx.append(best_i)
+    if check_rotation and matches > 0:
+        keep = _rotation_consistency(rot, rot_idx)
+        for i in rot_idx:
+            if i not in keep:
+                cur.map_points[i] = None
+                matches -= 1
+    return matches
+
+
+def search_by_bow(kf, frame, ratio: float = 0.7, check_rotation: bool = True):
+    """Match keyframe map points to frame keypoints through shared vocab
+    nodes (ORBmatcher1.cc:225).  Falls back to a windowless brute-force
+    when feature vectors are absent (no vocabulary loaded).
+    Returns (matches: dict frame_idx -> MapPoint, count)."""
+    kf_pairs = kf.get_map_point_indices()
+    matches: dict[int, object] = {}
+    rot, rot_idx = [], []
+
+    if kf.feat_vec is not None and getattr(frame, "feat_vec", None) is not None:
+        buckets = []
+        for node, kf_idx in kf.feat_vec.items():
+            f_idx = frame.feat_vec.get(node)
+            if f_idx:
+                buckets.append((kf_idx, f_idx))
+    else:
+        buckets = [([i for i, _ in kf_pairs], list(range(frame.n)))]
+
+    kf_mp = {i: mp for i, mp in kf_pairs}
+    used_frame = set()
+    for kf_idx, f_idx in buckets:
+        f_idx = [j for j in f_idx if j not in used_frame]
+        if not f_idx:
+            continue
+        f_desc = frame.desc[f_idx]
+        for i in kf_idx:
+            mp = kf_mp.get(i)
+            if mp is None or mp.bad:
+                continue
+            dists = desc_distances(kf.desc[i], f_desc)
+            o = np.argsort(dists, kind="stable")
+            best = int(dists[o[0]])
+            if best > TH_LOW:
+                continue
+            if len(o) > 1 and best > ratio * int(dists[o[1]]):
+                continue
+            j = f_idx[int(o[0])]
+            if j in used_frame:
+                continue
+            matches[j] = mp
+            used_frame.add(j)
+            if check_rotation:
+                dr = kf.angle[i] - frame.angle[j]
+                rot.append(dr + 360 if dr < 0 else dr)
+                rot_idx.append(j)
+    if check_rotation and matches:
+        keep = _rotation_consistency(rot, rot_idx)
+        matches = {j: mp for j, mp in matches.items() if j in keep}
+    return matches, len(matches)
+
+
+def search_for_initialization(f1, f2, window: int = 100, ratio: float = 0.9,
+                              check_rotation: bool = True):
+    """Monocular-init matching on level-0 keypoints (ORBmatcher semantics).
+    Returns array m12 (n1,) of f2 indices or -1."""
+    m12 = np.full(f1.n, -1, np.int64)
+    best_dist2 = np.full(f2.n, 256, np.int64)
+    matched21 = np.full(f2.n, -1, np.int64)
+    rot, rot_idx = [], []
+    for i1 in range(f1.n):
+        if f1.octave[i1] > 0:
+            continue
+        x, y = f1.kps_un[i1]
+        idx = f2.features_in_area(x, y, window, 0, 0)
+        if len(idx) == 0:
+            continue
+        dists = desc_distances(f1.desc[i1], f2.desc[idx])
+        o = np.argsort(dists, kind="stable")
+        best = int(dists[o[0]])
+        second = int(dists[o[1]]) if len(o) > 1 else 256
+        if best > TH_LOW or best > ratio * second:
+            continue
+        i2 = int(idx[o[0]])
+        if matched21[i2] >= 0:  # steal only if better
+            if best >= best_dist2[i2]:
+                continue
+            m12[matched21[i2]] = -1
+        m12[i1] = i2
+        matched21[i2] = i1
+        best_dist2[i2] = best
+        if check_rotation:
+            dr = f1.angle[i1] - f2.angle[i2]
+            rot.append(dr + 360 if dr < 0 else dr)
+            rot_idx.append(i1)
+    if check_rotation and rot:
+        keep = _rotation_consistency(rot, rot_idx)
+        for i1 in rot_idx:
+            if i1 not in keep:
+                m12[i1] = -1
+    return m12
+
+
+def search_for_triangulation(kf1, kf2, coarse: bool = False,
+                             check_rotation: bool = False):
+    """Epipolar-gated matching of un-associated keypoints between two
+    keyframes (ORBmatcher2.cc:179).  Returns list of (idx1, idx2)."""
+    T1w, T2w = kf1.Tcw, kf2.Tcw
+    T12 = T1w * T2w.inverse()
+    R12, t12 = T12.R, T12.t
+    # epipole of cam1 center in kf2 image
+    c1_in2 = T2w * kf1.camera_center()
+    if c1_in2[2] != 0:
+        ep = kf2.camera.project(c1_in2[None])[0]
+    else:
+        ep = np.array([1e9, 1e9])
+
+    free1 = [i for i in range(kf1.n) if kf1.map_points[i] is None]
+    free2 = [i for i in range(kf2.n) if kf2.map_points[i] is None]
+    if not free1 or not free2:
+        return []
+    d2 = kf2.desc[free2]
+    pairs = []
+    used2 = {}
+    rot, rot_idx = [], []
+    for a, i1 in enumerate(free1):
+        stereo1 = kf1.u_right[i1] >= 0
+        dists = desc_distances(kf1.desc[i1], d2)
+        order = np.argsort(dists, kind="stable")
+        best_j = -1
+        for o in order:
+            d = int(dists[o])
+            if d > TH_LOW:
+                break
+            i2 = free2[int(o)]
+            if i2 in used2:
+                continue
+            stereo2 = kf2.u_right[i2] >= 0
+            if not stereo1 and not stereo2:
+                # check distance to epipole (pure-mono pairs near the
+                # epipole triangulate badly)
+                dx = ep[0] - kf2.kps_un[i2][0]
+                dy = ep[1] - kf2.kps_un[i2][1]
+                if dx * dx + dy * dy < 100 * kf2.scale_factors[kf2.octave[i2]] ** 2:
+                    continue
+            ok = kf1.camera.epipolar_constrain(
+                kf2.camera,
+                kf1.kps_un[i1 : i1 + 1],
+                kf2.kps_un[i2 : i2 + 1],
+                R12,
+                t12,
+                kf2.level_sigma2[kf2.octave[i2]],
+                unc=5.991 if not coarse else 50.0,
+            )[0]
+            if ok:
+                best_j = i2
+                break
+        if best_j >= 0:
+            pairs.append((i1, best_j))
+            used2[best_j] = i1
+            if check_rotation:
+                dr = kf1.angle[i1] - kf2.angle[best_j]
+                rot.append(dr + 360 if dr < 0 else dr)
+                rot_idx.append(len(pairs) - 1)
+    if check_rotation and pairs:
+        keep = _rotation_consistency(rot, rot_idx)
+        pairs = [p for k, p in enumerate(pairs) if k in keep]
+    return pairs
+
+
+def fuse(kf, map_points, th: float = 3.0):
+    """Project map points into the keyframe and fuse duplicates
+    (ORBmatcher2.cc:420).  Returns number fused/added."""
+    tcw = kf.Tcw
+    ow = kf.camera_center()
+    n_fused = 0
+    for mp in map_points:
+        if mp is None or mp.bad or kf in mp.observations:
+            continue
+        pc = tcw * mp.position
+        if pc[2] < 0:
+            continue
+        uv = kf.camera.project(pc[None])[0]
+        if not (kf.min_x < uv[0] < kf.max_x and kf.min_y < uv[1] < kf.max_y):
+            continue
+        dist = np.linalg.norm(mp.position - ow)
+        if not (mp.min_distance <= dist <= mp.max_distance):
+            continue
+        normal = mp.normal
+        if (mp.position - ow) @ normal < 0.5 * dist:
+            continue
+        level = mp.predict_scale(dist, kf)
+        r = th * kf.scale_factors[level]
+        idx = kf.features_in_area(uv[0], uv[1], r, level - 1, level + 1)
+        if len(idx) == 0:
+            continue
+        ur_pred = uv[0] - kf.mbf / pc[2] if kf.mbf > 0 else -1
+        best, best_i = 256, -1
+        dists = desc_distances(mp.descriptor, kf.desc[idx])
+        for k_i, i in enumerate(idx):
+            # chi2 gate on reprojection
+            kp = kf.kps_un[i]
+            inv_s2 = kf.inv_level_sigma2[kf.octave[i]]
+            if kf.u_right[i] >= 0 and ur_pred >= 0:
+                e = (uv[0] - kp[0]) ** 2 + (uv[1] - kp[1]) ** 2 + (
+                    ur_pred - kf.u_right[i]
+                ) ** 2
+                if e * inv_s2 > 7.8:
+                    continue
+            else:
+                e = (uv[0] - kp[0]) ** 2 + (uv[1] - kp[1]) ** 2
+                if e * inv_s2 > 5.99:
+                    continue
+            d = int(dists[k_i])
+            if d < best:
+                best, best_i = d, i
+        if best <= TH_LOW and best_i >= 0:
+            existing = kf.map_points[best_i]
+            if existing is not None and not existing.bad:
+                if existing.n_obs > mp.n_obs:
+                    mp.replace(existing)
+                else:
+                    existing.replace(mp)
+            else:
+                mp.add_observation(kf, best_i)
+                kf.add_map_point(mp, best_i)
+            n_fused += 1
+    return n_fused

@@ -1,0 +1,172 @@
+"""System facade: lifecycle, per-frame entry points, trajectory output.
+
+Role-parity with /root/reference/include/System.h + src/System.cc
+(TrackStereo :246, SaveTrajectoryTUM :544, SaveTrajectoryKITTI,
+Shutdown :490): owns the Atlas, the device front-end, Tracking and
+LocalMapping (sequential by default for determinism; threaded mode runs
+LocalMapping on a worker like the reference's std::thread spawn at
+System.cc:197).
+"""
+
+from __future__ import annotations
+
+import threading
+
+import numpy as np
+
+from orbslam3_tpu.oracle.orb_cpu import PyramidParams
+from orbslam3_tpu.slam.frame import Frame
+from orbslam3_tpu.slam.local_mapping import LocalMapping
+from orbslam3_tpu.slam.map import Atlas
+from orbslam3_tpu.slam.tracking import Tracking
+from orbslam3_tpu.utils.lie import SE3
+
+
+class System:
+    STEREO = "stereo"
+    MONOCULAR = "mono"
+
+    def __init__(
+        self,
+        camera,
+        mbf: float,
+        orb_params: PyramidParams = PyramidParams(),
+        sensor: str = STEREO,
+        sequential: bool = True,
+        use_device: bool = True,
+        max_frames: int = 30,
+        vocabulary=None,
+    ):
+        self.camera = camera
+        self.mbf = mbf
+        self.orb_params = orb_params
+        self.sensor = sensor
+        self.use_device = use_device
+        self.vocabulary = vocabulary
+        self.atlas = Atlas()
+        self.atlas.add_camera(camera)
+        self.local_mapper = LocalMapping(
+            self.atlas, monocular=(sensor == self.MONOCULAR), sequential=sequential
+        )
+        self.tracker = Tracking(
+            self.atlas, self.local_mapper, camera, mbf, max_frames=max_frames
+        )
+        self._mapper_thread = None
+        if not sequential:
+            self._mapper_thread = threading.Thread(
+                target=self.local_mapper.spin, daemon=True
+            )
+            self._mapper_thread.start()
+        self.scale_factors = orb_params.scale_factors
+
+    # ------------------------------------------------------------------
+    def _extract_stereo(self, img_l: np.ndarray, img_r: np.ndarray):
+        """Device front-end -> compacted numpy feature arrays."""
+        from orbslam3_tpu.frontend import stereo_frame as sf
+        import jax
+
+        pair = np.stack([img_l, img_r])
+        out = sf.extract_and_match_stereo(
+            pair, self.orb_params, self.mbf, float(self.camera.fx)
+        )
+        out = jax.tree.map(np.asarray, out)
+        valid = out.left.valid
+        return dict(
+            kps=out.left.xy[valid],
+            octave=out.left.octave[valid],
+            angle=out.left.angle[valid],
+            response=out.left.response[valid],
+            desc=out.left.desc[valid],
+            u_right=out.u_right[valid],
+            depth=out.depth[valid],
+        )
+
+    def track_stereo(self, img_l: np.ndarray, img_r: np.ndarray, timestamp: float):
+        feats = self._extract_stereo(img_l, img_r)
+        frame = Frame(
+            kps=feats["kps"],
+            octave=feats["octave"],
+            angle=feats["angle"],
+            response=feats["response"],
+            desc=feats["desc"],
+            camera=self.camera,
+            scale_factors=self.scale_factors,
+            timestamp=timestamp,
+            u_right=feats["u_right"],
+            depth=feats["depth"],
+            mbf=self.mbf,
+        )
+        frame.set_image_bounds(0, 0, img_l.shape[1], img_l.shape[0])
+        if self.vocabulary is not None:
+            frame.bow_vec, frame.feat_vec = self.vocabulary.transform(frame.desc)
+        else:
+            frame.feat_vec = None
+        return self.tracker.track_frame(frame)
+
+    def track_stereo_features(self, feats: dict, timestamp: float, bounds):
+        """Entry point when features come precomputed (batch device runs)."""
+        frame = Frame(
+            kps=feats["kps"],
+            octave=feats["octave"],
+            angle=feats["angle"],
+            response=feats["response"],
+            desc=feats["desc"],
+            camera=self.camera,
+            scale_factors=self.scale_factors,
+            timestamp=timestamp,
+            u_right=feats["u_right"],
+            depth=feats["depth"],
+            mbf=self.mbf,
+        )
+        frame.set_image_bounds(*bounds)
+        if self.vocabulary is not None:
+            frame.bow_vec, frame.feat_vec = self.vocabulary.transform(frame.desc)
+        else:
+            frame.feat_vec = None
+        return self.tracker.track_frame(frame)
+
+    # ------------------------------------------------------------------
+    def shutdown(self):
+        self.local_mapper.request_finish()
+        if self._mapper_thread is not None:
+            self._mapper_thread.join(timeout=5)
+
+    def get_tracking_state(self):
+        return self.tracker.state
+
+    def map_stats(self):
+        m = self.atlas.get_current_map()
+        return dict(n_keyframes=m.n_keyframes(), n_map_points=m.n_map_points())
+
+    # --- trajectory output (System.cc:544+) ------------------------------
+    def frame_trajectory(self) -> list[tuple[float, SE3]]:
+        """(timestamp, Twc) replaying relative poses against (possibly
+        optimized) reference keyframes — SaveTrajectoryTUM semantics."""
+        out = []
+        for fid, ts, tcr, ref, lost in self.tracker.trajectory:
+            if lost or ref is None:
+                continue
+            kf = ref
+            trw = SE3()
+            while kf.bad and kf.parent is not None:
+                trw = kf.Tcp * trw if hasattr(kf, "Tcp") else trw
+                kf = kf.parent
+            tcw = tcr * kf.Tcw
+            out.append((ts, tcw.inverse()))
+        return out
+
+    def save_trajectory_tum(self, path: str):
+        from orbslam3_tpu.utils.trajectory import save_tum
+
+        save_tum(path, self.frame_trajectory())
+
+    def save_trajectory_kitti(self, path: str):
+        from orbslam3_tpu.utils.trajectory import save_kitti
+
+        save_kitti(path, self.frame_trajectory())
+
+    def save_keyframe_trajectory_tum(self, path: str):
+        from orbslam3_tpu.utils.trajectory import save_tum
+
+        kfs = self.atlas.get_current_map().get_all_keyframes()
+        save_tum(path, [(kf.timestamp, kf.Twc) for kf in kfs])

@@ -1,0 +1,480 @@
+"""Tracking: the per-frame pose estimation state machine.
+
+Role-parity with /root/reference/include/Tracking.h + src/Tracking1-5.cc
+(4,299 LoC): states NO_IMAGES_YET -> NOT_INITIALIZED -> OK / RECENTLY_LOST /
+LOST (Tracking.h:121); stereo initialization (Tracking3.cc:584); motion-model
+and reference-KF tracking (Tracking4.cc:178,44); TrackLocalMap
+(Tracking4.cc:273) with frustum-gated local-point search; keyframe decision
+(Tracking4.cc:388) and creation with stereo-depth map points
+(Tracking4.cc:540); relocalization hook; multi-map recovery via the Atlas
+(new map on LOST, SURVEY §5.3).  The device front-end supplies keypoints/
+descriptors/stereo depths; everything here is host-side NumPy.
+"""
+
+from __future__ import annotations
+
+from enum import IntEnum
+
+import numpy as np
+
+from orbslam3_tpu.optim.pose_optimization import PoseObservations, pose_optimization
+from orbslam3_tpu.slam import matchers
+from orbslam3_tpu.slam.frame import Frame
+from orbslam3_tpu.slam.keyframe import KeyFrame
+from orbslam3_tpu.slam.map_point import MapPoint
+from orbslam3_tpu.utils.lie import SE3
+
+
+class TrackingState(IntEnum):
+    NO_IMAGES_YET = 0
+    NOT_INITIALIZED = 1
+    OK = 2
+    RECENTLY_LOST = 3
+    LOST = 4
+
+
+class Tracking:
+    def __init__(
+        self,
+        atlas,
+        local_mapper,
+        camera,
+        mbf: float,
+        depth_threshold_factor: float = 35.0,
+        min_frames: int = 0,
+        max_frames: int = 30,
+        relocalizer=None,
+    ):
+        self.atlas = atlas
+        self.local_mapper = local_mapper
+        self.camera = camera
+        self.mbf = mbf
+        self.mb = mbf / camera.fx
+        self.depth_th = self.mb * depth_threshold_factor
+        self.min_frames = min_frames
+        self.max_frames = max_frames
+        self.relocalizer = relocalizer
+
+        self.state = TrackingState.NO_IMAGES_YET
+        self.velocity: SE3 | None = None
+        self.last_frame: Frame | None = None
+        self.current: Frame | None = None
+        self.ref_kf: KeyFrame | None = None
+        self.last_kf: KeyFrame | None = None
+        self.last_kf_frame_id = 0
+        self.last_reloc_frame_id = 0
+        self.matches_inliers = 0
+        self._last_inliers = 0
+        self.local_kfs: list[KeyFrame] = []
+        self.local_mps: list[MapPoint] = []
+        self.temporal_points: list[MapPoint] = []
+        self.frames_since_lost = 0
+
+        # trajectory log: (frame_id, timestamp, Tcr relative to ref KF, ref KF, lost)
+        self.trajectory: list = []
+
+    # ------------------------------------------------------------------
+    def track_frame(self, frame: Frame) -> SE3 | None:
+        """Per-frame entry (Tracking::Track, Tracking3.cc:44)."""
+        self.current = frame
+        if self.state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED):
+            self._stereo_initialization(frame)
+            self.last_frame = frame
+            if self.state == TrackingState.OK:
+                self._log_trajectory(lost=False)
+            return frame.Tcw.copy() if frame.Tcw is not None else None
+
+        ok = False
+        if self.state == TrackingState.OK:
+            self._check_replaced_in_last_frame()
+            if self.velocity is None or frame.id < self.last_reloc_frame_id + 2:
+                ok = self._track_reference_keyframe()
+            else:
+                ok = self._track_with_motion_model()
+                if not ok:
+                    ok = self._track_reference_keyframe()
+        elif self.state == TrackingState.RECENTLY_LOST:
+            ok = self._relocalize()
+            self.frames_since_lost += 1
+            if not ok and self.frames_since_lost > self.max_frames:
+                self.state = TrackingState.LOST
+
+        if self.state == TrackingState.LOST:
+            self._handle_lost()
+            self.last_frame = frame
+            self._log_trajectory(lost=True)
+            return None
+
+        if ok:
+            ok = self._track_local_map()
+        if ok:
+            self.state = TrackingState.OK
+            self.frames_since_lost = 0
+        elif self.state == TrackingState.OK:
+            self.state = TrackingState.RECENTLY_LOST
+            self.frames_since_lost = 0
+
+        if ok:
+            if self.last_frame.Tcw is not None:
+                self.velocity = frame.Tcw * self.last_frame.Twc
+            else:
+                self.velocity = None
+            self._clean_vo_matches()
+            if self._need_new_keyframe():
+                self._create_new_keyframe()
+            # drop outlier associations (pose-opt marked)
+            for i in np.nonzero(frame.outlier)[0]:
+                frame.map_points[i] = None
+                frame.outlier[i] = False
+        frame.ref_keyframe = self.ref_kf
+        self._log_trajectory(lost=not ok)
+        self.last_frame = frame
+        return frame.Tcw.copy() if ok and frame.Tcw is not None else None
+
+    # ------------------------------------------------------------------
+    def _log_trajectory(self, lost: bool):
+        f = self.current
+        if f.Tcw is not None and self.ref_kf is not None:
+            tcr = f.Tcw * self.ref_kf.Twc
+        else:
+            tcr = SE3()
+        self.trajectory.append((f.id, f.timestamp, tcr, self.ref_kf, lost))
+
+    def _stereo_initialization(self, frame: Frame):
+        """Tracking3.cc:584: needs >500 kps; map from stereo depths."""
+        if frame.n <= 500:
+            return
+        frame.set_pose(SE3())
+        m = self.atlas.get_current_map()
+        kf = KeyFrame(frame, m)
+        m.add_keyframe(kf)
+        n_pts = 0
+        for i in range(frame.n):
+            z = frame.depth[i]
+            if z <= 0:
+                continue
+            pw = kf.unproject_stereo(i)
+            if pw is None:
+                continue
+            mp = MapPoint(pw, kf, m)
+            mp.add_observation(kf, i)
+            kf.add_map_point(mp, i)
+            mp.compute_distinctive_descriptor()
+            mp.update_normal_and_depth()
+            m.add_map_point(mp)
+            frame.map_points[i] = mp
+            n_pts += 1
+        if n_pts < 100:
+            return
+        self.local_mapper.insert_keyframe(kf)
+        self.ref_kf = kf
+        self.last_kf = kf
+        self.last_kf_frame_id = frame.id
+        self.local_kfs = [kf]
+        self.local_mps = m.get_all_map_points()
+        self.state = TrackingState.OK
+
+    def _check_replaced_in_last_frame(self):
+        lf = self.last_frame
+        for i in range(lf.n):
+            mp = lf.map_points[i]
+            if mp is not None and mp.replaced_by is not None:
+                lf.map_points[i] = mp.get_replaced()
+
+    def _update_last_frame(self):
+        """Re-anchor last frame pose; spawn temporal VO points for close
+        stereo keypoints (Tracking4.cc UpdateLastFrame)."""
+        lf = self.last_frame
+        if lf.ref_keyframe is not None and self.trajectory:
+            tcr = next(
+                (t for t in reversed(self.trajectory) if t[0] == lf.id), None
+            )
+            if tcr is not None and tcr[3] is not None:
+                lf.set_pose(tcr[2] * tcr[3].Tcw)
+        if self.mbf <= 0 or lf.id == self.last_kf_frame_id:
+            return
+        # create temporal points for the closest 100 (or all close) depths
+        z = lf.depth
+        cand = np.nonzero(z > 0)[0]
+        if len(cand) == 0:
+            return
+        order = cand[np.argsort(z[cand])]
+        n_new = 0
+        for i in order:
+            mp = lf.map_points[i]
+            if mp is None or mp.n_obs < 1:
+                pw = lf.unproject_stereo(i)
+                if pw is None:
+                    continue
+                mp_new = MapPoint(pw, None, None)
+                mp_new.descriptor = lf.desc[i].copy()
+                lf.map_points[i] = mp_new
+                self.temporal_points.append(mp_new)
+                n_new += 1
+            if z[i] > self.depth_th and n_new > 100:
+                break
+
+    def _track_with_motion_model(self) -> bool:
+        self._update_last_frame()
+        f = self.current
+        f.set_pose(self.velocity * self.last_frame.Tcw)
+        f.map_points[:] = None
+        th = 7 if self.mbf > 0 else 15
+        n = matchers.search_by_projection_last_frame(f, self.last_frame, th, self.mbf <= 0)
+        if n < 20:
+            f.map_points[:] = None
+            n = matchers.search_by_projection_last_frame(
+                f, self.last_frame, 2 * th, self.mbf <= 0
+            )
+        if n < 20:
+            return False
+        return self._optimize_current_pose() >= 10
+
+    def _track_reference_keyframe(self) -> bool:
+        f = self.current
+        if self.ref_kf is None:
+            return False
+        matches, n = matchers.search_by_bow(self.ref_kf, f, ratio=0.7)
+        if n < 15:
+            return False
+        f.map_points[:] = None
+        for j, mp in matches.items():
+            f.map_points[j] = mp
+        f.set_pose(self.last_frame.Tcw if self.last_frame.Tcw is not None else SE3())
+        return self._optimize_current_pose() >= 10
+
+    def _optimize_current_pose(self, map_only: bool = False) -> int:
+        f = self.current
+        idx = [
+            i
+            for i in range(f.n)
+            if f.map_points[i] is not None
+            and not f.map_points[i].bad
+            and not (map_only and f.map_points[i].n_obs == 0)
+        ]
+        if len(idx) < 3:
+            return 0
+        idx = np.asarray(idx)
+        obs = PoseObservations(
+            p3d_w=np.stack([f.map_points[i].position for i in idx]),
+            obs_uv=f.kps_un[idx],
+            obs_ur=f.u_right[idx],
+            inv_sigma2=f.inv_level_sigma2[f.octave[idx]],
+            camera=f.camera,
+            mbf=f.mbf,
+        )
+        T, inlier, n_in = pose_optimization(f.Tcw, obs)
+        f.set_pose(T)
+        # Mark outliers but KEEP the associations (reference semantics:
+        # mvbOutlier flags live through Track(); nulling here would prune
+        # truth-consistent matches that merely look bad from a drifted
+        # intermediate pose, biasing later stages toward the drift).
+        f.outlier[:] = False
+        for k, i in enumerate(idx):
+            if not inlier[k]:
+                f.outlier[i] = True
+        return n_in
+
+    # --- local map -------------------------------------------------------
+    def _track_local_map(self) -> bool:
+        f = self.current
+        self._update_local_map()
+        self._search_local_points()
+        # Final pose vote comes from MAP-ANCHORED points only.  Temporal VO
+        # points are anchored to the last frame's *estimate*; letting them
+        # vote here couples the pose to its own history along the weakly
+        # observable (x, yaw)/(y, pitch) modes, and together with the
+        # constant-velocity extrapolation (gain 2 along those modes) the
+        # loop e_{t+1} ~ 2 e_t - e_{t-1} is unstable.  (The reference keeps
+        # them; its scenes are stiff enough that the loop gain stays < 1.)
+        n_in = self._optimize_current_pose(map_only=True)
+        # Escalation: if the pose landed with weak support relative to the
+        # previous frame, the drift likely exceeded the th=1 search window —
+        # redo the local search wider and re-optimize (the reference's
+        # RECENTLY_LOST th=15 escalation, applied one step earlier).
+        if n_in < 0.6 * max(self._last_inliers, 1) or n_in < 60:
+            self._search_local_points(th=5)
+            n_in = self._optimize_current_pose(map_only=True)
+        # count only real map points
+        self.matches_inliers = 0
+        for i in range(f.n):
+            mp = f.map_points[i]
+            if mp is not None and not f.outlier[i]:
+                mp.increase_found()
+                if mp.n_obs > 0:
+                    self.matches_inliers += 1
+        self._last_inliers = self.matches_inliers
+        if f.id < self.last_reloc_frame_id + self.max_frames and self.matches_inliers < 50:
+            return False
+        return self.matches_inliers >= 30
+
+    def _update_local_map(self):
+        """UpdateLocalKeyFrames + UpdateLocalPoints (Tracking4.cc:273+)."""
+        f = self.current
+        counter: dict[KeyFrame, int] = {}
+        for i in range(f.n):
+            mp = f.map_points[i]
+            if mp is None or mp.bad:
+                continue
+            for kf in mp.observations:
+                if not kf.bad:
+                    counter[kf] = counter.get(kf, 0) + 1
+        if not counter:
+            return
+        self.local_kfs = []
+        seen = set()
+        kf_max = max(counter.items(), key=lambda kv: kv[1])[0]
+        for kf in sorted(counter, key=lambda k: -counter[k]):
+            self.local_kfs.append(kf)
+            seen.add(kf)
+        for kf in list(self.local_kfs):
+            if len(self.local_kfs) > 80:
+                break
+            for nb in kf.get_best_covisibility_keyframes(10):
+                if not nb.bad and nb not in seen:
+                    self.local_kfs.append(nb)
+                    seen.add(nb)
+                    break
+            for ch in kf.children:
+                if not ch.bad and ch not in seen:
+                    self.local_kfs.append(ch)
+                    seen.add(ch)
+                    break
+            if kf.parent is not None and kf.parent not in seen and not kf.parent.bad:
+                self.local_kfs.append(kf.parent)
+                seen.add(kf.parent)
+        self.ref_kf = kf_max
+        f.ref_keyframe = kf_max
+        self.local_mps = []
+        mp_seen = set()
+        for kf in self.local_kfs:
+            for _, mp in kf.get_map_point_indices():
+                if mp.id not in mp_seen:
+                    mp_seen.add(mp.id)
+                    self.local_mps.append(mp)
+
+    def _search_local_points(self, th: float | None = None):
+        f = self.current
+        in_frame = set()
+        for i in range(f.n):
+            mp = f.map_points[i]
+            if mp is not None:
+                if mp.bad:
+                    f.map_points[i] = None
+                else:
+                    mp.increase_visible()
+                    mp.last_frame_seen = f.id
+                    in_frame.add(mp.id)
+        n_to_match = 0
+        for mp in self.local_mps:
+            mp.track_in_view = False
+            if mp.id in in_frame or mp.bad:
+                continue
+            proj = f.is_in_frustum(mp, 0.5)
+            if proj is not None:
+                mp.track_in_view = True
+                mp.track_proj = proj
+                mp.increase_visible()
+                n_to_match += 1
+        if n_to_match > 0:
+            if th is None:
+                th = 3 if f.id < self.last_reloc_frame_id + 2 else 1
+            matchers.search_by_projection_local_map(f, self.local_mps, th)
+
+    # --- keyframe policy ---------------------------------------------------
+    def _need_new_keyframe(self) -> bool:
+        f = self.current
+        m = self.atlas.get_current_map()
+        n_kfs = m.n_keyframes()
+        if f.id < self.last_reloc_frame_id + self.max_frames and n_kfs > self.max_frames:
+            return False
+        min_obs = 3 if n_kfs > 2 else 2
+        ref_matches = self.ref_kf.tracked_map_points(min_obs) if self.ref_kf else 0
+        # stereo close-point stats
+        n_tracked_close = n_nontracked_close = 0
+        if self.mbf > 0:
+            close = (f.depth > 0) & (f.depth < self.depth_th)
+            tracked = np.array(
+                [mp is not None and not o for mp, o in zip(f.map_points, f.outlier)]
+            )
+            n_tracked_close = int((close & tracked).sum())
+            n_nontracked_close = int((close & ~tracked).sum())
+        # Reference: tracked-close < 100 AND untracked-close > 70
+        # (Tracking4.cc:459 region).  Added ratio form: when untracked close
+        # structure outnumbers tracked close structure the camera is looking
+        # at unmapped territory even if the absolute count is still "enough"
+        # — insert before accuracy decays (absolute-100 assumes EuRoC-like
+        # point budgets).
+        need_insert_close = (
+            n_tracked_close < 100 or n_nontracked_close > n_tracked_close
+        ) and n_nontracked_close > 70
+        th_ref = 0.75 if n_kfs < 2 else (0.9 if self.mbf <= 0 else 0.75)
+        idle = self.local_mapper.accept_keyframes()
+        c1a = f.id >= self.last_kf_frame_id + self.max_frames
+        c1b = f.id >= self.last_kf_frame_id + self.min_frames and idle
+        c1c = self.mbf > 0 and (
+            self.matches_inliers < ref_matches * 0.25 or need_insert_close
+        )
+        c2 = (
+            self.matches_inliers < ref_matches * th_ref or need_insert_close
+        ) and self.matches_inliers > 15
+        return bool((c1a or c1b or c1c) and c2)
+
+    def _create_new_keyframe(self):
+        f = self.current
+        m = self.atlas.get_current_map()
+        kf = KeyFrame(f, m)
+        self.ref_kf = kf
+        f.ref_keyframe = kf
+        if self.mbf > 0:
+            # create close-depth map points not yet tracked (Tracking4.cc:540)
+            z = f.depth
+            cand = np.nonzero(z > 0)[0]
+            order = cand[np.argsort(z[cand])]
+            n_new = 0
+            for i in order:
+                mp = f.map_points[i]
+                if mp is None or mp.n_obs < 1:
+                    pw = kf.unproject_stereo(i)
+                    if pw is None:
+                        continue
+                    mp_new = MapPoint(pw, kf, m)
+                    mp_new.add_observation(kf, i)
+                    kf.add_map_point(mp_new, i)
+                    mp_new.compute_distinctive_descriptor()
+                    mp_new.update_normal_and_depth()
+                    m.add_map_point(mp_new)
+                    f.map_points[i] = mp_new
+                    n_new += 1
+                if z[i] > self.depth_th and n_new > 100:
+                    break
+        self.local_mapper.insert_keyframe(kf)
+        self.last_kf = kf
+        self.last_kf_frame_id = f.id
+
+    def _clean_vo_matches(self):
+        f = self.current
+        for i in range(f.n):
+            mp = f.map_points[i]
+            if mp is not None and mp.n_obs < 1:
+                f.outlier[i] = False
+                f.map_points[i] = None
+
+    # --- failure handling --------------------------------------------------
+    def _relocalize(self) -> bool:
+        if self.relocalizer is None:
+            return False
+        ok = self.relocalizer(self.current)
+        if ok:
+            self.last_reloc_frame_id = self.current.id
+            self.state = TrackingState.OK
+        return ok
+
+    def _handle_lost(self):
+        """Atlas elastic recovery: fork a fresh map (Tracking3.cc:263-281)."""
+        m = self.atlas.get_current_map()
+        if m.n_keyframes() > 10:
+            self.atlas.create_new_map()
+        self.state = TrackingState.NOT_INITIALIZED
+        self.velocity = None
+        self.ref_kf = None

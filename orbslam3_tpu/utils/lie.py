@@ -101,6 +101,18 @@ class SE3:
         self.R = np.eye(3) if R is None else np.asarray(R, np.float64)
         self.t = np.zeros(3) if t is None else np.asarray(t, np.float64)
 
+    def normalized(self) -> "SE3":
+        """Re-orthonormalize R (nearest rotation by SVD).
+
+        Long composition chains (per-frame re-anchoring against reference
+        keyframes) compound float error, and `inverse()` uses the transpose
+        — only exact for orthonormal R — so tiny errors AMPLIFY
+        exponentially through inverse/multiply cycles (observed 1e-9 ->
+        1e-2 over 20 frames, silently displacing Gauss-Newton fixed points
+        off the cost minimum).  Persistent pose state must pass through
+        this."""
+        return SE3(project_to_so3(self.R), self.t)
+
     @staticmethod
     def exp(xi: np.ndarray) -> "SE3":
         """xi = (..., 6): [rho (trans), phi (rot)] -> SE3 (Sophus convention)."""

@@ -141,3 +141,19 @@ def test_pose_optimization_no_noise_exact():
     err = (T * T_true.inverse()).log()
     assert np.linalg.norm(err) < 1e-6
     assert n_in == len(obs.p3d_w)
+
+
+def test_se3_long_chain_stays_orthonormal():
+    """Regression: re-anchoring chains (pose' = (pose*ref^-1)*ref) must not
+    corrupt R — SE3.inverse uses the transpose, so non-orthonormal error
+    AMPLIFIES exponentially through inverse/multiply cycles unless persistent
+    poses are re-normalized (found as cm-level GN bias after ~20 frames)."""
+    rng = np.random.default_rng(3)
+    pose = random_se3()
+    ref = random_se3()
+    for _ in range(200):
+        tcr = pose * ref.inverse()
+        pose = (tcr * ref).normalized()
+        pose = SE3.exp(rng.normal(0, 1e-3, 6)) * pose
+    err = np.abs(pose.R.T @ pose.R - np.eye(3)).max()
+    assert err < 1e-12, err
