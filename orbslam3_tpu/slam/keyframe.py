@@ -67,9 +67,9 @@ class KeyFrame:
         self.to_be_erased = False
         self.bad = False
 
-        # BoW (filled lazily by the vocabulary)
-        self.bow_vec = None
-        self.feat_vec = None
+        # BoW (inherited from the frame when a vocabulary is active)
+        self.bow_vec = getattr(frame, "bow_vec", None)
+        self.feat_vec = getattr(frame, "feat_vec", None)
 
         # bookkeeping used by LocalMapping/LoopClosing
         self.ba_local_for_kf = -1

@@ -32,6 +32,7 @@ class LocalMapping:
         self.abort_ba = False
         self.finished = False
         self.loop_closer = None
+        self.kf_database = None
         self._idle = True
         self._accept_kfs = True
 
@@ -92,6 +93,8 @@ class LocalMapping:
                 self.recent_map_points.append(mp)
         kf.update_connections()
         self.atlas.add_keyframe(kf)
+        if self.kf_database is not None:
+            self.kf_database.add(kf)
 
     def _cull_map_points(self, kf):
         """MapPointCulling: drop weak recent points (LocalMapping.cc:346)."""

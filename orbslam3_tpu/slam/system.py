@@ -48,8 +48,22 @@ class System:
         self.local_mapper = LocalMapping(
             self.atlas, monocular=(sensor == self.MONOCULAR), sequential=sequential
         )
+        self.kf_database = None
+        relocalizer = None
+        if vocabulary is not None:
+            from orbslam3_tpu.vocab.keyframe_database import KeyFrameDatabase
+            from orbslam3_tpu.slam.relocalization import Relocalizer
+
+            self.kf_database = KeyFrameDatabase(vocabulary)
+            self.local_mapper.kf_database = self.kf_database
+            relocalizer = Relocalizer(self.kf_database)
         self.tracker = Tracking(
-            self.atlas, self.local_mapper, camera, mbf, max_frames=max_frames
+            self.atlas,
+            self.local_mapper,
+            camera,
+            mbf,
+            max_frames=max_frames,
+            relocalizer=relocalizer,
         )
         self._mapper_thread = None
         if not sequential:
