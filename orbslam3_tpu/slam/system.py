@@ -49,14 +49,20 @@ class System:
             self.atlas, monocular=(sensor == self.MONOCULAR), sequential=sequential
         )
         self.kf_database = None
+        self.loop_closer = None
         relocalizer = None
         if vocabulary is not None:
             from orbslam3_tpu.vocab.keyframe_database import KeyFrameDatabase
             from orbslam3_tpu.slam.relocalization import Relocalizer
+            from orbslam3_tpu.slam.loop_closing import LoopClosing
 
             self.kf_database = KeyFrameDatabase(vocabulary)
             self.local_mapper.kf_database = self.kf_database
             relocalizer = Relocalizer(self.kf_database)
+            self.loop_closer = LoopClosing(
+                self.atlas, self.kf_database, fix_scale=(sensor != self.MONOCULAR)
+            )
+            self.local_mapper.loop_closer = self.loop_closer
         self.tracker = Tracking(
             self.atlas,
             self.local_mapper,

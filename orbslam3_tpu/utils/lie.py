@@ -190,6 +190,41 @@ class Sim3:
         """Drop scale (used when applying a corrected Sim3 as a pose)."""
         return SE3(self.R, self.t / self.s)
 
+    @staticmethod
+    def from_se3(T: SE3, s: float = 1.0) -> "Sim3":
+        return Sim3(s, T.R.copy(), T.t.copy())
+
+    def normalized(self) -> "Sim3":
+        return Sim3(self.s, project_to_so3(self.R), self.t)
+
+    @staticmethod
+    def exp(xi: np.ndarray) -> "Sim3":
+        """xi = [rho(3), phi(3), sigma(1)] -> Sim3 (approximate W: uses the
+        SE3 left-Jacobian for translation plus exact scale — adequate for
+        pose-graph increments, which are small)."""
+        rho, phi, sigma = xi[:3], xi[3:6], float(xi[6])
+        s = float(np.exp(sigma))
+        r = so3_exp(phi)
+        # first-order scale coupling: t = s_factor * J_l(phi) rho
+        jl = so3_left_jacobian(phi)
+        if abs(sigma) < 1e-7:
+            a = 1.0 + sigma / 2.0
+        else:
+            a = (s - 1.0) / sigma
+        t = a * (jl @ rho)
+        return Sim3(s, r, t)
+
+    def log(self) -> np.ndarray:
+        sigma = float(np.log(self.s))
+        phi = so3_log(self.R)
+        jl = so3_left_jacobian(phi)
+        if abs(sigma) < 1e-7:
+            a = 1.0 + sigma / 2.0
+        else:
+            a = (self.s - 1.0) / sigma
+        rho = np.linalg.solve(a * jl, self.t)
+        return np.concatenate([rho, phi, [sigma]])
+
 
 def project_to_so3(r: np.ndarray) -> np.ndarray:
     """Nearest rotation matrix (SVD orthogonalization)."""
