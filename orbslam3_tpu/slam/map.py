@@ -36,6 +36,15 @@ class Map:
         self.lock = threading.RLock()
         self.origin_kfs: list = []
 
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state.pop("lock", None)
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self.lock = threading.RLock()
+
     def add_keyframe(self, kf):
         with self.lock:
             self.keyframes.add(kf)
@@ -98,6 +107,15 @@ class Atlas:
         self.cameras: list = []
         self.lock = threading.RLock()
         self.create_new_map()
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state.pop("lock", None)
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self.lock = threading.RLock()
 
     def create_new_map(self) -> Map:
         with self.lock:

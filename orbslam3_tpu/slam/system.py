@@ -146,13 +146,103 @@ class System:
         return self.tracker.track_frame(frame)
 
     # ------------------------------------------------------------------
+    @classmethod
+    def from_files(
+        cls,
+        voc_file: str | None,
+        settings_file: str,
+        sensor: str = "stereo",
+        use_viewer: bool = False,
+        viewer_dir: str = "viewer_out",
+        sequential: bool = True,
+    ) -> "System":
+        """Reference-ctor parity: System(vocFile, settingsFile, sensor,
+        bUseViewer) (include/System.h:105).  Vocabulary files ending in
+        .txt load the DBoW2 text format (ORBvoc.txt), .npz the native one."""
+        from orbslam3_tpu.utils.settings import load_settings
+
+        st = load_settings(settings_file, sensor)
+        voc = None
+        if voc_file:
+            from orbslam3_tpu.vocab.vocabulary import BinaryVocabulary
+
+            if voc_file.endswith(".npz"):
+                voc = BinaryVocabulary.load(voc_file)
+            else:
+                voc = BinaryVocabulary.load_orbvoc_text(voc_file)
+        sysm = cls(
+            camera=st.make_camera(1),
+            mbf=st.bf,
+            orb_params=st.make_orb_params(),
+            sensor=sensor,
+            sequential=sequential,
+            vocabulary=voc,
+            max_frames=int(st.fps),
+        )
+        sysm.settings = st
+        sysm.tracker.depth_th = (st.bf / st.camera1[0]) * st.depth_th_factor if st.bf else 0
+        if st.load_atlas:
+            sysm.load_atlas(st.load_atlas)
+        if use_viewer:
+            from orbslam3_tpu.utils.viewer import Viewer
+
+            sysm.viewer = Viewer(sysm, viewer_dir)
+        return sysm
+
+    # --- control (System.h:125-135) ---------------------------------------
+    def activate_localization_mode(self):
+        """Tracking-only: stop inserting keyframes / growing the map."""
+        self.tracker._need_new_keyframe_saved = self.tracker._need_new_keyframe
+        self.tracker._need_new_keyframe = lambda: False
+
+    def deactivate_localization_mode(self):
+        if hasattr(self.tracker, "_need_new_keyframe_saved"):
+            self.tracker._need_new_keyframe = self.tracker._need_new_keyframe_saved
+
+    def reset(self):
+        """Full reset: fresh Atlas (System::Reset role)."""
+        self.atlas = Atlas()
+        self.atlas.add_camera(self.camera)
+        self.local_mapper.atlas = self.atlas
+        self.tracker.atlas = self.atlas
+        self.tracker.state = __import__(
+            "orbslam3_tpu.slam.tracking", fromlist=["TrackingState"]
+        ).TrackingState.NO_IMAGES_YET
+        if self.kf_database is not None:
+            self.kf_database.clear()
+
+    def reset_active_map(self):
+        self.tracker._handle_lost()
+
+    # --- persistence (System.cc:1348,1380) --------------------------------
+    def save_atlas(self, path: str):
+        from orbslam3_tpu.utils.persistence import save_atlas
+
+        save_atlas(path, self.atlas, self.vocabulary)
+
+    def load_atlas(self, path: str):
+        from orbslam3_tpu.utils.persistence import load_atlas
+
+        self.atlas = load_atlas(path, self.vocabulary, self.kf_database)
+        self.local_mapper.atlas = self.atlas
+        self.tracker.atlas = self.atlas
+
     def shutdown(self):
         self.local_mapper.request_finish()
         if self._mapper_thread is not None:
             self._mapper_thread.join(timeout=5)
+        st = getattr(self, "settings", None)
+        if st is not None and st.save_atlas:
+            self.save_atlas(st.save_atlas)
 
     def get_tracking_state(self):
         return self.tracker.state
+
+    def get_tracked_map_points(self):
+        f = self.tracker.current
+        if f is None:
+            return []
+        return [mp for mp, o in zip(f.map_points, f.outlier) if mp is not None and not o]
 
     def map_stats(self):
         m = self.atlas.get_current_map()

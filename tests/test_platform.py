@@ -1,0 +1,153 @@
+"""Settings YAML, atlas persistence, benchmark lib, headless viewer."""
+
+import os
+
+import numpy as np
+import pytest
+
+EUROC_YAML = """%YAML:1.0
+---
+File.version: "1.0"
+Camera.type: "PinHole"
+Camera1.fx: 458.654
+Camera1.fy: 457.296
+Camera1.cx: 367.215
+Camera1.cy: 248.375
+Camera1.k1: -0.28340811
+Camera1.k2: 0.07395907
+Camera1.p1: 0.00019359
+Camera1.p2: 1.76187114e-05
+Camera2.fx: 457.587
+Camera2.fy: 456.134
+Camera2.cx: 379.999
+Camera2.cy: 255.238
+Camera2.k1: -0.28368365
+Camera2.k2: 0.07451284
+Camera2.p1: -0.00010473
+Camera2.p2: -3.55590700e-05
+Camera.width: 752
+Camera.height: 480
+Camera.fps: 20
+Camera.RGB: 1
+Stereo.ThDepth: 35.0
+Stereo.T_c1_c2: !!opencv-matrix
+  rows: 4
+  cols: 4
+  dt: f
+  data: [1.0, 0.0, 0.0, 0.110074, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 1.0]
+Stereo.b: 0.110074
+IMU.NoiseGyro: 1.7e-04
+IMU.NoiseAcc: 2.0e-03
+IMU.GyroWalk: 1.9e-05
+IMU.AccWalk: 3.0e-03
+IMU.Frequency: 200.0
+IMU.T_b_c1: !!opencv-matrix
+  rows: 4
+  cols: 4
+  dt: f
+  data: [0.0148655429818, -0.999880929698, 0.00414029679422, -0.0216401454975,
+         0.999557249008, 0.0149672133247, 0.025715529948, -0.064676986768,
+         -0.0257744366974, 0.00375618835797, 0.999660727178, 0.00981073058949,
+         0.0, 0.0, 0.0, 1.0]
+ORBextractor.nFeatures: 1200
+ORBextractor.scaleFactor: 1.2
+ORBextractor.nLevels: 8
+ORBextractor.iniThFAST: 20
+ORBextractor.minThFAST: 7
+Viewer.KeyFrameSize: 0.05
+"""
+
+
+def test_settings_parse_euroc_style(tmp_path):
+    from orbslam3_tpu.utils.settings import load_settings
+
+    p = tmp_path / "euroc.yaml"
+    p.write_text(EUROC_YAML)
+    s = load_settings(str(p), sensor="stereo")
+    assert s.camera_type == "PinHole"
+    np.testing.assert_allclose(s.camera1[:2], [458.654, 457.296])
+    assert s.dist1 is not None and abs(s.dist1[0] + 0.2834) < 1e-3
+    assert s.camera2 is not None
+    assert s.Tlr.shape == (4, 4) and abs(s.Tlr[0, 3] - 0.110074) < 1e-9
+    assert abs(s.bf - 0.110074 * 458.654) < 1e-6
+    assert s.imu_freq == 200.0
+    assert abs(s.imu_noise_gyro - 1.7e-4 * np.sqrt(200)) < 1e-9
+    assert s.Tbc.shape == (4, 4)
+    assert s.n_features == 1200
+    cam = s.make_camera(1)
+    assert cam.fx == 458.654
+    params = s.make_orb_params()
+    assert params.n_features == 1200
+    assert "Viewer.KeyFrameSize" in s.viewer
+
+
+def test_system_from_files_and_atlas_roundtrip(tmp_path):
+    from orbslam3_tpu.slam.system import System
+    from orbslam3_tpu.utils.synth import stereo_sequence
+    from orbslam3_tpu.cameras.models import Pinhole
+    from orbslam3_tpu.oracle.orb_cpu import PyramidParams
+
+    camera = Pinhole([350.0, 350.0, 256.0, 192.0])
+    mbf = 350.0 * 0.12
+    frames = stereo_sequence(8, camera, 0.12, 384, 512, seed=1)
+    sysm = System(camera, mbf, PyramidParams(n_features=700), sequential=True)
+    for k, (il, ir, tg) in enumerate(frames):
+        sysm.track_stereo(il, ir, k / 20.0)
+    stats0 = sysm.map_stats()
+    assert stats0["n_keyframes"] >= 1
+
+    p = str(tmp_path / "atlas.pkl")
+    sysm.save_atlas(p)
+    sys2 = System(camera, mbf, PyramidParams(n_features=700), sequential=True)
+    sys2.load_atlas(p)
+    stats1 = sys2.map_stats()
+    assert stats1 == stats0
+    kfs0 = sysm.atlas.get_current_map().get_all_keyframes()
+    kfs1 = sys2.atlas.get_current_map().get_all_keyframes()
+    np.testing.assert_allclose(kfs0[-1].Tcw.matrix(), kfs1[-1].Tcw.matrix())
+    # covisibility survives
+    assert len(kfs1[0].get_connected_keyframes()) == len(kfs0[0].get_connected_keyframes())
+
+
+def test_benchmark_lib(tmp_path):
+    from orbslam3_tpu.utils.benchmark import Benchmark
+
+    csv = str(tmp_path / "bench.csv")
+    b = Benchmark(csv_path=csv, flush_interval=0.05)
+    import time
+
+    for _ in range(5):
+        with b.measure("stage.a"):
+            time.sleep(0.002)
+    with b.measure("stage.b"):
+        pass
+    time.sleep(0.15)
+    b.shutdown()
+    summary = b.summary()
+    assert summary["stage.a"][2] == 5
+    assert summary["stage.a"][0] >= 1.5
+    lines = open(csv).read().strip().splitlines()
+    assert lines[0] == "tag,timestamp,duration_ms"
+    assert sum("stage.a" in ln for ln in lines) == 5
+    out = str(tmp_path / "ExecMean.txt")
+    b.write_exec_mean(out)
+    assert "stage.a" in open(out).read()
+
+
+def test_headless_viewer(tmp_path):
+    from orbslam3_tpu.slam.system import System
+    from orbslam3_tpu.utils.synth import stereo_sequence
+    from orbslam3_tpu.utils.viewer import Viewer
+    from orbslam3_tpu.cameras.models import Pinhole
+    from orbslam3_tpu.oracle.orb_cpu import PyramidParams
+
+    camera = Pinhole([350.0, 350.0, 256.0, 192.0])
+    frames = stereo_sequence(3, camera, 0.12, 384, 512, seed=1)
+    sysm = System(camera, 42.0, PyramidParams(n_features=700), sequential=True)
+    viewer = Viewer(sysm, str(tmp_path / "viz"), map_every=2)
+    for k, (il, ir, tg) in enumerate(frames):
+        sysm.track_stereo(il, ir, k / 20.0)
+        viewer.update(il)
+    files = os.listdir(tmp_path / "viz")
+    assert sum(f.startswith("frame_") for f in files) == 3
+    assert sum(f.startswith("map_") for f in files) >= 1
