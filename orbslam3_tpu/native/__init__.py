@@ -1,0 +1,152 @@
+"""ctypes bindings for the native host-runtime library.
+
+Compiles orbslam3_native.cpp with g++ on first import (cached .so next to
+the source); every entry point has a pure-NumPy fallback so the package
+works without a toolchain.  `available()` reports which path is active.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_HERE = os.path.dirname(__file__)
+_SRC = os.path.join(_HERE, "src", "orbslam3_native.cpp")
+_SO = os.path.join(_HERE, "liborbslam3_native.so")
+_lib = None
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+             _SRC, "-o", _SO],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    lib.distribute_octree.restype = ctypes.c_int
+    lib.distribute_octree.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.hamming_knn.restype = None
+    lib.hamming_knn.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.hamming_matrix.restype = None
+    lib.hamming_matrix.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+# ---------------------------------------------------------------------------
+def distribute_octree(kps: np.ndarray, min_x: int, max_x: int, min_y: int,
+                      max_y: int, target: int) -> np.ndarray:
+    """Exact quadtree keypoint spreading; kps (N, 3) = (x, y, response) in
+    crop coords.  Returns selected row indices."""
+    lib = _load()
+    kps = np.ascontiguousarray(kps, np.float32)
+    n = len(kps)
+    if n == 0:
+        return np.empty(0, np.int64)
+    if lib is not None:
+        out = np.empty(n, np.int32)
+        m = lib.distribute_octree(
+            kps.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n,
+            int(min_x), int(max_x), int(min_y), int(max_y), int(target),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        return out[:m].astype(np.int64)
+    # fallback: oracle implementation (returns keypoints, map back to indices)
+    from orbslam3_tpu.oracle.orb_cpu import distribute_octree as py_oct
+
+    sel = py_oct(kps.astype(np.float64), min_x, max_x, min_y, max_y, target)
+    idx = []
+    used = set()
+    for row in sel:
+        cand = np.nonzero(
+            (kps[:, 0] == row[0]) & (kps[:, 1] == row[1]) & (kps[:, 2] == row[2])
+        )[0]
+        for c in cand:
+            if int(c) not in used:
+                used.add(int(c))
+                idx.append(int(c))
+                break
+    return np.asarray(idx, np.int64)
+
+
+def hamming_knn(a: np.ndarray, b: np.ndarray, k: int = 2):
+    """(idx (Na, k) int32, dist (Na, k) int32) nearest-neighbors in B."""
+    a = np.ascontiguousarray(a, np.uint8)
+    b = np.ascontiguousarray(b, np.uint8)
+    lib = _load()
+    if lib is not None and len(a) and len(b):
+        idx = np.empty((len(a), k), np.int32)
+        dist = np.empty((len(a), k), np.int32)
+        lib.hamming_knn(
+            a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(a),
+            b.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(b), k,
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            dist.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        return idx, dist
+    from orbslam3_tpu.slam.matchers import hamming_matrix_np
+
+    d = hamming_matrix_np(a, b)
+    k_eff = min(k, d.shape[1])
+    idx = np.argsort(d, axis=1, kind="stable")[:, :k_eff].astype(np.int32)
+    dist = np.take_along_axis(d, idx, axis=1).astype(np.int32)
+    if k_eff < k:
+        pad_i = np.full((len(a), k - k_eff), -1, np.int32)
+        pad_d = np.full((len(a), k - k_eff), -1, np.int32)
+        idx = np.concatenate([idx, pad_i], axis=1)
+        dist = np.concatenate([dist, pad_d], axis=1)
+    return idx, dist
+
+
+def hamming_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    a = np.ascontiguousarray(a, np.uint8)
+    b = np.ascontiguousarray(b, np.uint8)
+    lib = _load()
+    if lib is not None and len(a) and len(b):
+        out = np.empty((len(a), len(b)), np.int32)
+        lib.hamming_matrix(
+            a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(a),
+            b.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(b),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        return out
+    from orbslam3_tpu.slam.matchers import hamming_matrix_np
+
+    return hamming_matrix_np(a, b)
