@@ -123,6 +123,33 @@ class System:
             frame.feat_vec = None
         return self.tracker.track_frame(frame)
 
+    def track_monocular(self, img: np.ndarray, timestamp: float):
+        """Monocular per-frame entry (System::TrackMonocular role)."""
+        import jax
+
+        from orbslam3_tpu.ops.extractor import extract_features_jit
+
+        out = extract_features_jit(img, self.orb_params)
+        out = jax.tree.map(np.asarray, out)
+        v = out.valid
+        frame = Frame(
+            kps=out.xy[v],
+            octave=out.octave[v],
+            angle=out.angle[v],
+            response=out.response[v],
+            desc=out.desc[v],
+            camera=self.camera,
+            scale_factors=self.scale_factors,
+            timestamp=timestamp,
+            mbf=0.0,
+        )
+        frame.set_image_bounds(0, 0, img.shape[1], img.shape[0])
+        if self.vocabulary is not None:
+            frame.bow_vec, frame.feat_vec = self.vocabulary.transform(frame.desc)
+        else:
+            frame.feat_vec = None
+        return self.tracker.track_frame(frame)
+
     def track_stereo_features(self, feats: dict, timestamp: float, bounds):
         """Entry point when features come precomputed (batch device runs)."""
         frame = Frame(

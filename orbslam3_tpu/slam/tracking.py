@@ -78,7 +78,10 @@ class Tracking:
         """Per-frame entry (Tracking::Track, Tracking3.cc:44)."""
         self.current = frame
         if self.state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED):
-            self._stereo_initialization(frame)
+            if self.mbf > 0:
+                self._stereo_initialization(frame)
+            else:
+                self._monocular_initialization(frame)
             self.last_frame = frame
             if self.state == TrackingState.OK:
                 self._log_trajectory(lost=False)
@@ -172,6 +175,69 @@ class Tracking:
         self.last_kf_frame_id = frame.id
         self.local_kfs = [kf]
         self.local_mps = m.get_all_map_points()
+        self.state = TrackingState.OK
+
+    def _monocular_initialization(self, frame: Frame):
+        """Two-view monocular init (Tracking::MonocularInitialization):
+        match against a reference frame, reconstruct with F/H model
+        selection, normalize scale to median depth 1, spawn two keyframes
+        and the initial map."""
+        from orbslam3_tpu.optim.two_view import TwoViewReconstruction
+
+        if getattr(self, "_ini_frame", None) is None or frame.n <= 100:
+            self._ini_frame = frame if frame.n > 100 else None
+            self.state = TrackingState.NOT_INITIALIZED
+            return
+        ini = self._ini_frame
+        m12 = matchers.search_for_initialization(ini, frame, window=100)
+        matched = np.nonzero(m12 >= 0)[0]
+        # gate: the reference requires >100 matches but extracts 5x features
+        # for initialization (mpIniORBextractor, nFeatures*5); at our 1x
+        # budget the equivalent gate is ~60 level-0 matches
+        if len(matched) < 60:
+            self._ini_frame = frame if frame.n > 100 else None
+            return
+        tvr = TwoViewReconstruction(frame.camera)
+        ok, T21, pts, good = tvr.reconstruct(
+            ini.kps_un[matched], frame.kps_un[m12[matched]]
+        )
+        if not ok or good.sum() < 50:
+            return
+        # normalize scale: median depth -> 1 (reference CreateInitialMapMonocular)
+        med = float(np.median(pts[good][:, 2]))
+        if med <= 0:
+            return
+        pts = pts / med
+        T21 = SE3(T21.R, T21.t / med)
+        ini.set_pose(SE3())
+        frame.set_pose(T21)
+        m = self.atlas.get_current_map()
+        kf1 = KeyFrame(ini, m)
+        kf2 = KeyFrame(frame, m)
+        m.add_keyframe(kf1)
+        m.add_keyframe(kf2)
+        for k in np.nonzero(good)[0]:
+            i1 = int(matched[k])
+            i2 = int(m12[matched][k])
+            mp = MapPoint(pts[k], kf2, m)
+            mp.add_observation(kf1, i1)
+            mp.add_observation(kf2, i2)
+            kf1.add_map_point(mp, i1)
+            kf2.add_map_point(mp, i2)
+            frame.map_points[i2] = mp
+            mp.compute_distinctive_descriptor()
+            mp.update_normal_and_depth()
+            m.add_map_point(mp)
+        kf1.update_connections()
+        kf2.update_connections()
+        self.local_mapper.insert_keyframe(kf1)
+        self.local_mapper.insert_keyframe(kf2)
+        self.ref_kf = kf2
+        self.last_kf = kf2
+        self.last_kf_frame_id = frame.id
+        self.local_kfs = [kf1, kf2]
+        self.local_mps = m.get_all_map_points()
+        self._ini_frame = None
         self.state = TrackingState.OK
 
     def _check_replaced_in_last_frame(self):

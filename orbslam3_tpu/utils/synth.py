@@ -212,18 +212,24 @@ def stereo_sequence(
     return frames
 
 
-def ate_rmse(est: list, gt: list) -> float:
-    """Absolute trajectory error after SE3 (no-scale) Umeyama alignment."""
+def ate_rmse(est: list, gt: list, with_scale: bool = False) -> float:
+    """Absolute trajectory error after Umeyama alignment (SE3, or Sim3 with
+    `with_scale` for monocular's free scale)."""
     p_est = np.stack([T.inverse().t for T in est])
     p_gt = np.stack([T.inverse().t for T in gt])
     mu_e, mu_g = p_est.mean(0), p_gt.mean(0)
     xe, xg = p_est - mu_e, p_gt - mu_g
     cov = xg.T @ xe / len(xe)
-    u, _, vt = np.linalg.svd(cov)
-    s = np.eye(3)
+    u, d, vt = np.linalg.svd(cov)
+    s_mat = np.eye(3)
     if np.linalg.det(u @ vt) < 0:
-        s[2, 2] = -1
-    r = u @ s @ vt
-    t = mu_g - r @ mu_e
-    aligned = p_est @ r.T + t
+        s_mat[2, 2] = -1
+    r = u @ s_mat @ vt
+    if with_scale:
+        var_e = (xe**2).sum() / len(xe)
+        scale = float(np.trace(np.diag(d) @ s_mat) / max(var_e, 1e-12))
+    else:
+        scale = 1.0
+    t = mu_g - scale * (r @ mu_e)
+    aligned = scale * (p_est @ r.T) + t
     return float(np.sqrt(np.mean(np.sum((aligned - p_gt) ** 2, axis=1))))
