@@ -110,10 +110,69 @@ def gaussian_blur7_u8(img: jax.Array) -> jax.Array:
     return jnp.clip(out, 0, 255).astype(jnp.uint8)
 
 
+@functools.lru_cache(maxsize=None)
+def _fused_pyramid_mats(sh: int, sw: int, sizes: tuple):
+    """Concatenated tap/selection matrices for ALL levels at once.
+
+    Direct-from-native resizing (see oracle.build_pyramid) has no level
+    dependency chain, so the horizontal passes fuse into ONE (sw, sum_w)
+    matmul and the vertical selections into ONE (sum_h, sh) matmul; the
+    level images are the diagonal blocks of the (sum_h, sum_w) result.
+    ~8x fewer (and far larger) ops than per-level resizing — the chain was
+    latency-bound at ~2 ms/frame, this runs in ~0.3 ms.
+    """
+    import ml_dtypes
+
+    mx_hi, mx_lo, s0, s1, by0, by1 = [], [], [], [], [], []
+    for (dh, dw) in sizes:
+        a, b, c, d, e, f = _resize_mats(sh, sw, dh, dw)
+        mx_hi.append(a)
+        mx_lo.append(b)
+        s0.append(c)
+        s1.append(d)
+        by0.append(e)
+        by1.append(f)
+    return (
+        np.concatenate(mx_hi, axis=1),           # (sw, sum_w) bf16
+        np.concatenate(mx_lo, axis=1),
+        np.concatenate(s0, axis=0),              # (sum_h, sh) bf16
+        np.concatenate(s1, axis=0),
+        np.concatenate(by0)[:, None].astype(np.int32),  # (sum_h, 1)
+        np.concatenate(by1)[:, None].astype(np.int32),
+    )
+
+
 def build_pyramid(image: jax.Array, params: PyramidParams) -> list[jax.Array]:
-    """All pyramid levels (uint8, unbordered views — see SURVEY §7)."""
-    sizes = params.level_sizes(*image.shape)
+    """All pyramid levels (uint8); level l is a bit-exact cv2 INTER_LINEAR
+    resize of the native image (oracle.build_pyramid semantics)."""
+    sh, sw = image.shape
+    sizes = params.level_sizes(sh, sw)[1:]
+    if not sizes:
+        return [image]
+    mx_hi, mx_lo, s0, s1, by0, by1 = _fused_pyramid_mats(sh, sw, tuple(sizes))
+    srcb = image.astype(jnp.bfloat16)
+    rows = jnp.dot(srcb, jnp.asarray(mx_hi), preferred_element_type=jnp.float32)
+    rows = rows + jnp.dot(srcb, jnp.asarray(mx_lo), preferred_element_type=jnp.float32)
+    rows4 = rows.astype(jnp.int32) >> 4
+    hi = (rows4 >> 8).astype(jnp.bfloat16)
+    lo = (rows4 & 255).astype(jnp.bfloat16)
+
+    def select(sel):
+        sel = jnp.asarray(sel)
+        return (
+            jnp.dot(sel, hi, preferred_element_type=jnp.float32) * 256.0
+            + jnp.dot(sel, lo, preferred_element_type=jnp.float32)
+        ).astype(jnp.int32)
+
+    r0 = select(s0)   # (sum_h, sum_w) — level blocks live on the diagonal
+    r1 = select(s1)
+    out = (((jnp.asarray(by0) * r0) >> 16) + ((jnp.asarray(by1) * r1) >> 16) + 2) >> 2
+    out = jnp.clip(out, 0, 255).astype(jnp.uint8)
+
     levels = [image]
-    for (lh, lw) in sizes[1:]:
-        levels.append(resize_linear_u8(levels[-1], lh, lw))
+    y = x = 0
+    for (dh, dw) in sizes:
+        levels.append(out[y : y + dh, x : x + dw])
+        y += dh
+        x += dw
     return levels
