@@ -66,6 +66,46 @@ def masked_two_best(dist: jax.Array, valid: jax.Array) -> tuple[jax.Array, jax.A
     return idx, best, second
 
 
+def search_by_projection_batch(
+    proj_uv: jax.Array,      # (M, 2) projected map points
+    pred_level: jax.Array,   # (M,) predicted octave
+    radius: jax.Array,       # (M,) per-point window radius (px)
+    mp_desc: jax.Array,      # (M, 32) uint8 map-point descriptors
+    mp_valid: jax.Array,     # (M,) bool
+    kp_xy: jax.Array,        # (K, 2) frame keypoint slots
+    kp_level: jax.Array,     # (K,)
+    kp_desc: jax.Array,      # (K, 32)
+    kp_valid: jax.Array,     # (K,)
+    th_desc: int = TH_HIGH,
+    ratio: float = 0.8,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Dense device SearchByProjection: every (map point, keypoint) pair is
+    gated by the square window, the [pred-1, pred] octave band, and
+    descriptor distance, with the reference's same-level nn-ratio test —
+    the reference's per-point grid walk becomes one masked MXU Hamming
+    matmul (the production path when matching whole frames on-device).
+
+    Returns (best_kp_idx (M,), best_dist (M,), matched (M,))."""
+    dx = jnp.abs(kp_xy[None, :, 0] - proj_uv[:, None, 0])
+    dy = jnp.abs(kp_xy[None, :, 1] - proj_uv[:, None, 1])
+    in_window = (dx < radius[:, None]) & (dy < radius[:, None])
+    lvl_ok = (kp_level[None, :] >= pred_level[:, None] - 1) & (
+        kp_level[None, :] <= pred_level[:, None]
+    )
+    valid = in_window & lvl_ok & mp_valid[:, None] & kp_valid[None, :]
+    dist = hamming_matrix(mp_desc, kp_desc)
+    idx, best, second = masked_two_best(dist, valid)
+    best_lvl = kp_level[idx]
+    # nn-ratio applies only when best and runner-up share the level
+    d2 = jnp.where(valid, dist, BIG)
+    d2 = d2.at[jnp.arange(d2.shape[0]), idx].set(BIG)
+    idx2 = jnp.argmin(d2, axis=1)
+    same_lvl = kp_level[idx2] == best_lvl
+    ratio_ok = ~same_lvl | (best.astype(jnp.float32) <= ratio * second.astype(jnp.float32))
+    matched = (best <= th_desc) & ratio_ok
+    return idx, best, matched
+
+
 def rotation_histogram_mask(
     angle_a: jax.Array, angle_b: jax.Array, valid: jax.Array, n_keep: int = 3
 ) -> jax.Array:
