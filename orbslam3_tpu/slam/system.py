@@ -101,7 +101,16 @@ class System:
             depth=out.depth[valid],
         )
 
-    def track_stereo(self, img_l: np.ndarray, img_r: np.ndarray, timestamp: float):
+    def track_stereo(
+        self,
+        img_l: np.ndarray,
+        img_r: np.ndarray,
+        timestamp: float,
+        imu: tuple | None = None,
+    ):
+        """imu: optional (acc (N,3), gyro (N,3), dts (N,)) samples covering
+        the interval since the previous frame (System::TrackStereo's vImuMeas
+        role); preintegrated and attached for IMU prediction/dead-reckoning."""
         feats = self._extract_stereo(img_l, img_r)
         frame = Frame(
             kps=feats["kps"],
@@ -121,6 +130,13 @@ class System:
             frame.bow_vec, frame.feat_vec = self.vocabulary.transform(frame.desc)
         else:
             frame.feat_vec = None
+        if imu is not None:
+            from orbslam3_tpu.imu.preintegration import Bias, Calib, Preintegrated
+            from orbslam3_tpu.utils.lie import SE3 as _SE3
+
+            pre = Preintegrated(Bias(), getattr(self, "imu_calib", None) or Calib(_SE3()))
+            pre.integrate_batch(*imu)
+            frame.imu_preint = pre
         return self.tracker.track_frame(frame)
 
     def track_monocular(self, img: np.ndarray, timestamp: float):

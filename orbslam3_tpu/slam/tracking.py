@@ -97,7 +97,12 @@ class Tracking:
                 if not ok:
                     ok = self._track_reference_keyframe()
         elif self.state == TrackingState.RECENTLY_LOST:
-            ok = self._relocalize()
+            # IMU dead-reckoning first (Tracking::PredictStateIMU path,
+            # Tracking2.cc:565): predict through the preintegration window
+            # and try to re-acquire the map at the predicted pose
+            ok = self._predict_with_imu(frame) and self._reacquire_at_prediction()
+            if not ok:
+                ok = self._relocalize()
             self.frames_since_lost += 1
             if not ok and self.frames_since_lost > self.max_frames:
                 self.state = TrackingState.LOST
@@ -122,6 +127,7 @@ class Tracking:
                 self.velocity = frame.Tcw * self.last_frame.Twc
             else:
                 self.velocity = None
+            self._update_velocity_estimate(frame)
             self._clean_vo_matches()
             if self._need_new_keyframe():
                 self._create_new_keyframe()
@@ -527,6 +533,45 @@ class Tracking:
                 f.map_points[i] = None
 
     # --- failure handling --------------------------------------------------
+    def _predict_with_imu(self, frame) -> bool:
+        """Dead-reckon the pose across the frame's preintegration window."""
+        pre = getattr(frame, "imu_preint", None)
+        if pre is None or self.last_frame is None or self.last_frame.Tcw is None:
+            return False
+        if getattr(self, "_v_w", None) is None:
+            return False
+        from orbslam3_tpu.imu.preintegration import Bias
+
+        twb = self.last_frame.Tcw.inverse()  # camera == body (Tbc external)
+        T_new, v_new = pre.predict_state(twb, self._v_w, Bias())
+        frame.set_pose(T_new.inverse())
+        self._v_w = v_new
+        return True
+
+    def _reacquire_at_prediction(self) -> bool:
+        """Try to re-match the local map at the (IMU-predicted) pose."""
+        f = self.current
+        f.map_points[:] = None
+        self._search_local_points(th=5)
+        n_in = self._optimize_current_pose(map_only=True)
+        if n_in >= 30:
+            self.matches_inliers = n_in
+            self.state = TrackingState.OK
+            return True
+        # keep the dead-reckoned pose as output; stay RECENTLY_LOST
+        return False
+
+    def _update_velocity_estimate(self, frame):
+        """World-frame velocity from consecutive frame poses (for IMU
+        prediction before full VI initialization provides one)."""
+        lf = self.last_frame
+        if lf is None or lf.Tcw is None or frame.Tcw is None:
+            return
+        dt = frame.timestamp - lf.timestamp
+        if dt <= 0:
+            return
+        self._v_w = (frame.Tcw.inverse().t - lf.Tcw.inverse().t) / dt
+
     def _relocalize(self) -> bool:
         if self.relocalizer is None:
             return False

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from orbslam3_tpu.utils.lie import SE3, so3_exp
+from orbslam3_tpu.utils.lie import SE3, so3_exp, so3_log
 
 
 def _smooth_noise(size: int, coarse: int, rng) -> np.ndarray:
@@ -193,23 +193,59 @@ def stereo_sequence(
     T_rl = SE3(np.eye(3), np.array([-baseline, 0.0, 0.0]))  # left point -> right cam
     frames = []
     for k in range(n_frames):
-        s = k * step
-        # smooth oscillating sweep: bounded displacement keeps revisiting
-        # mapped territory (per-frame stereo-depth noise induces ~3 mm/frame
-        # of structured drift; an unbounded sweep accumulates past the
-        # matching gates before loop closing can correct it)
-        t = np.array(
-            [0.5 * np.sin(0.35 * s * np.pi), 0.06 * np.sin(0.4 * k), 0.25 * np.sin(0.22 * s * np.pi)]
-        )
-        w_rot = np.array(
-            [0.002 * np.sin(0.2 * k), -0.12 * np.sin(0.3 * s * np.pi), 0.0]
-        )
-        Twc = SE3(so3_exp(w_rot), t)   # camera k pose in world
+        Twc = trajectory_pose(k, step)
         Tcw = Twc.inverse()
         img_l = render_world(walls, camera, Tcw, h, w)
         img_r = render_world(walls, camera, T_rl * Tcw, h, w)
         frames.append((img_l, img_r, Tcw))
     return frames
+
+
+def trajectory_pose(k: float, step: float = 0.05) -> SE3:
+    """Analytic camera-in-world pose at (fractional) frame index k.
+
+    Smooth oscillating sweep: bounded displacement keeps revisiting mapped
+    territory (per-frame stereo-depth noise induces ~3 mm/frame of
+    structured drift; an unbounded sweep accumulates past the matching
+    gates before loop closing can correct it)."""
+    s = k * step
+    t = np.array(
+        [0.5 * np.sin(0.35 * s * np.pi), 0.06 * np.sin(0.4 * k), 0.25 * np.sin(0.22 * s * np.pi)]
+    )
+    w_rot = np.array([0.002 * np.sin(0.2 * k), -0.12 * np.sin(0.3 * s * np.pi), 0.0])
+    return SE3(so3_exp(w_rot), t)
+
+
+def imu_samples_between(
+    k0: float, k1: float, fps: float = 20.0, imu_rate: float = 200.0,
+    step: float = 0.05, bias_acc=None, bias_gyro=None,
+):
+    """Exact-ish IMU (specific force + body rates) between frames k0 and k1
+    of the analytic trajectory, by central finite differences.
+
+    Returns (acc (N, 3), gyro (N, 3), dts (N,)) in the camera(=body) frame,
+    gravity included, optional constant biases added."""
+    g = np.array([0.0, 0.0, -9.81])
+    n = max(1, int(round((k1 - k0) * imu_rate / fps)))
+    dt = (k1 - k0) / fps / n
+    dk = (k1 - k0) / n
+    eps_k = 1e-3
+    accs, gyros, dts = [], [], []
+    for i in range(n):
+        km = k0 + (i + 0.5) * dk  # midpoint of the sample interval
+        T = trajectory_pose(km, step)
+        Tp = trajectory_pose(km + eps_k, step)
+        Tm = trajectory_pose(km - eps_k, step)
+        dt_k = eps_k / fps  # seconds per eps_k frames
+        # body rates from relative rotation
+        w_body = so3_log(T.R.T @ Tp.R) / dt_k
+        # world acceleration by central second difference
+        a_w = (Tp.t - 2 * T.t + Tm.t) / (dt_k * dt_k)
+        f_body = T.R.T @ (a_w - g)
+        accs.append(f_body + (bias_acc if bias_acc is not None else 0.0))
+        gyros.append(w_body + (bias_gyro if bias_gyro is not None else 0.0))
+        dts.append(dt)
+    return np.asarray(accs), np.asarray(gyros), np.asarray(dts)
 
 
 def ate_rmse(est: list, gt: list, with_scale: bool = False) -> float:
