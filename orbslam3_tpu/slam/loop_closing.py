@@ -92,7 +92,14 @@ class LoopClosing:
         s_cur_w_corr = s_cur_cand * s_cand_w
         s_cur_w_old = Sim3.from_se3(kf.Tcw)
 
-        group = [kf] + [k for k in kf.get_best_covisibility_keyframes(1000) if not k.bad]
+        # the loop KF is the anchor: never drag it (in real loops it is not
+        # covisible with the current KF, but small/fully-connected maps can
+        # put it in the group)
+        group = [kf] + [
+            k
+            for k in kf.get_best_covisibility_keyframes(1000)
+            if not k.bad and k is not loop_kf
+        ]
         corrected: dict = {}
         non_corrected: dict = {}
         for k in group:
