@@ -37,22 +37,29 @@ class LoopClosing:
         result = self.detect_loop(kf)
         if result is not None:
             cand, s_cur_cand, matches = result
-            self.correct_loop(kf, cand, s_cur_cand, matches)
+            if cand.map is kf.map:
+                self.correct_loop(kf, cand, s_cur_cand, matches)
+            else:
+                self.merge_maps(kf, cand, s_cur_cand)
 
     # ------------------------------------------------------------------
     def detect_loop(self, kf, min_matches: int = 20):
         """Returns (loop_kf, Sim3 cur<-cand, {cur_idx: cand MapPoint}) or None."""
         m = self.atlas.get_current_map()
-        if m.n_keyframes() < 12 or kf.id < self.last_loop_kf_id + 10:
+        # same-map loops need a mature map; cross-map merges only need the
+        # fresh map to have a few keyframes
+        min_kfs = 12 if self.atlas.count_maps() == 1 else 3
+        if m.n_keyframes() < min_kfs or kf.id < self.last_loop_kf_id + 10:
             return None
         if kf.bow_vec is None:
             return None
         candidates = self.db.detect_n_best_candidates(kf, 3)
         for cand in candidates:
-            if cand.bad or cand.map is not m:
+            if cand.bad or getattr(cand.map, "bad", False):
                 continue
-            # temporal gate: candidate must be old (not a recent neighbor)
-            if abs(cand.id - kf.id) < 10:
+            # temporal gate (same-map loops): candidate must be old;
+            # cross-map candidates (merge) have no such constraint
+            if cand.map is m and abs(cand.id - kf.id) < 10:
                 continue
             matches, n = matchers.search_by_bow(cand, kf, ratio=0.75)
             if n < min_matches:
@@ -198,6 +205,69 @@ class LoopClosing:
 
         if self.run_gba:
             self._global_ba(m, kf)
+        return True
+
+    # ------------------------------------------------------------------
+    def merge_maps(self, kf_cur, kf_match, s_cur_match: Sim3):
+        """Weld the current (young) map into the matched keyframe's (old)
+        map (LoopClosing::MergeLocal role, /root/reference/src/
+        LoopClosing2.cc:352): transform every keyframe and map point of the
+        current map by the verified Sim3 so kf_cur lands consistently in
+        the old map's frame, move them over, fuse duplicates around the
+        weld, reconnect the covisibility graph, run a welding local BA, and
+        retire the young map."""
+        from orbslam3_tpu.optim.local_ba import local_bundle_adjustment
+        from orbslam3_tpu.slam import matchers
+
+        m_young = kf_cur.map
+        m_old = kf_match.map
+        # alignment of the young map's world into the old map's world:
+        # S_w'w = (S_cur_cand * S_cand_w')^-1 * S_cur_w
+        s_cur_w_target = s_cur_match * Sim3.from_se3(kf_match.Tcw)
+        s_align = (s_cur_w_target.inverse() * Sim3.from_se3(kf_cur.Tcw)).normalized()
+
+        young_kfs = m_young.get_all_keyframes()
+        young_mps = m_young.get_all_map_points()
+        for k in young_kfs:
+            s_new = (Sim3.from_se3(k.Tcw) * s_align.inverse()).normalized()
+            k.set_pose(s_new.to_se3())
+            k.map = m_old
+            m_old.add_keyframe(k)
+        for mp in young_mps:
+            mp.position = s_align.apply(mp.position[None])[0]
+            mp.map = m_old
+            mp.update_normal_and_depth()
+            m_old.add_map_point(mp)
+
+        # weld: fuse old-map points into the young neighborhood and back
+        old_near = [mp for _, mp in kf_match.get_map_point_indices()]
+        for nb in [kf_match] + kf_match.get_best_covisibility_keyframes(5):
+            old_near += [mp for _, mp in nb.get_map_point_indices()]
+        seen = set()
+        old_near = [mp for mp in old_near if not (mp.id in seen or seen.add(mp.id))]
+        for k in [kf_cur] + kf_cur.get_best_covisibility_keyframes(5):
+            matchers.fuse(k, old_near, th=4.0)
+        young_near = [mp for _, mp in kf_cur.get_map_point_indices()]
+        for nb in [kf_match] + kf_match.get_best_covisibility_keyframes(5):
+            matchers.fuse(nb, young_near, th=4.0)
+
+        for k in young_kfs + [kf_match]:
+            k.update_connections(parent_candidates=False)
+        # root the young segment's spanning tree under the old map
+        root = min(young_kfs, key=lambda k: k.id)
+        if root.parent is None and root is not kf_match:
+            root.parent = kf_match
+            kf_match.children.add(root)
+
+        kf_cur.merge_edges.add(kf_match)
+        kf_match.merge_edges.add(kf_cur)
+        self.atlas.change_map(m_old)
+        self.atlas.set_map_bad(m_young)
+        self.atlas.remove_bad_maps()
+        local_bundle_adjustment(kf_cur, m_old)  # welding BA
+        self.last_loop_kf_id = kf_cur.id
+        self.n_merges = getattr(self, "n_merges", 0) + 1
+        m_old.info_changed()
         return True
 
     # ------------------------------------------------------------------
