@@ -139,8 +139,11 @@ class System:
             frame.imu_preint = pre
         return self.tracker.track_frame(frame)
 
-    def track_monocular(self, img: np.ndarray, timestamp: float):
-        """Monocular per-frame entry (System::TrackMonocular role)."""
+    def track_monocular(
+        self, img: np.ndarray, timestamp: float, imu: tuple | None = None
+    ):
+        """Monocular per-frame entry (System::TrackMonocular role; `imu`
+        mirrors the vImuMeas argument for the mono-inertial configuration)."""
         import jax
 
         from orbslam3_tpu.ops.extractor import extract_features_jit
@@ -164,6 +167,13 @@ class System:
             frame.bow_vec, frame.feat_vec = self.vocabulary.transform(frame.desc)
         else:
             frame.feat_vec = None
+        if imu is not None:
+            from orbslam3_tpu.imu.preintegration import Bias, Calib, Preintegrated
+            from orbslam3_tpu.utils.lie import SE3 as _SE3
+
+            pre = Preintegrated(Bias(), getattr(self, "imu_calib", None) or Calib(_SE3()))
+            pre.integrate_batch(*imu)
+            frame.imu_preint = pre
         return self.tracker.track_frame(frame)
 
     def track_stereo_features(self, feats: dict, timestamp: float, bounds):
