@@ -93,6 +93,27 @@ def align_visual_inertial(
     return s, g, v
 
 
+class _CorrectedPre:
+    """Bias-corrected view of a Preintegrated (first-order delta getters)."""
+
+    def __init__(self, pre, bias: Bias):
+        self.dT = pre.dT
+        self.dR = pre.get_delta_rotation(bias)
+        self.dV = pre.get_delta_velocity(bias)
+        self.dP = pre.get_delta_position(bias)
+
+
+def initialize_imu_chain(Twb_list: list, preints: list, fix_scale: bool):
+    """Full VI init on a temporal keyframe chain (InitializeIMU role):
+    gyro bias from rotation residuals, then linear scale/gravity/velocity
+    alignment with the bias-corrected deltas.
+    Returns (bg, scale, gravity_world, velocities (N,3))."""
+    bg = estimate_gyro_bias([T.R for T in Twb_list], preints)
+    corr = [_CorrectedPre(p, Bias(np.zeros(3), bg)) for p in preints]
+    s, g, v = align_visual_inertial(Twb_list, corr, fix_scale)
+    return bg, s, g, v
+
+
 def gravity_alignment_rotation(g_est: np.ndarray) -> np.ndarray:
     """Rotation taking the estimated gravity to the canonical -z axis
     (used with Map::ApplyScaledRotation to re-level the world)."""

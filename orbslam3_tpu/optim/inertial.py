@@ -108,15 +108,26 @@ def pose_inertial_optimization(
     mbf: float = 0.0,
     Tcb: SE3 | None = None,
     n_iters: int = 10,
+    prior_sigma: tuple = (2e-3, 0.03, 3e-3),
 ) -> VIState:
-    """GN over the current state; previous state and map points fixed."""
+    """GN over the current state; previous state and map points fixed.
+
+    prior_sigma = (rot rad, vel m/s, pos m) floors added to the
+    preintegration stddevs.  The previous state is held FIXED here but is
+    itself an estimate; without this floor a low-noise IMU makes the
+    inertial residual arbitrarily stiff and the optimization dead-reckons
+    from the previous state's noise instead of listening to vision.  (The
+    reference solves the same problem with a marginalized prior on the
+    previous state — EdgePriorPoseImu, include/G2oTypes.h:732.)
+    """
     Tcb = Tcb or SE3()
     # information weights from the preintegration covariance (sqrt inverse
     # of the diagonal blocks; full off-diagonal weighting is a refinement)
     nav_var = np.maximum(np.diagonal(pre.C[:9, :9]), 1e-12)
-    w_inertial = 1.0 / np.sqrt(nav_var)
+    floor = np.repeat(np.asarray(prior_sigma) ** 2, 3)
+    w_inertial = 1.0 / np.sqrt(nav_var + floor)
     walk_var = np.maximum(np.diagonal(pre.C[9:15, 9:15]), 1e-14)
-    w_bias = 1.0 / np.sqrt(walk_var)
+    w_bias = 1.0 / np.sqrt(walk_var + 1e-8)
 
     def res(s):
         return _residuals(

@@ -71,6 +71,18 @@ class KeyFrame:
         self.bow_vec = getattr(frame, "bow_vec", None)
         self.feat_vec = getattr(frame, "feat_vec", None)
 
+        # visual-inertial state (KeyFrame::mVw/mImuBias/mpImuPreintegrated,
+        # temporal chain mPrevKF/mNextKF — include/KeyFrame.h region)
+        self.velocity = getattr(frame, "velocity", None)
+        self.imu_bias = getattr(frame, "imu_bias", None)
+        if self.imu_bias is None:
+            from orbslam3_tpu.imu.preintegration import Bias
+
+            self.imu_bias = Bias()
+        self.imu_preint = None  # preintegration prev_kf -> this (set by Tracking)
+        self.prev_kf: KeyFrame | None = None
+        self.next_kf: KeyFrame | None = None
+
         # bookkeeping used by LocalMapping/LoopClosing
         self.ba_local_for_kf = -1
         self.ba_fixed_for_kf = -1

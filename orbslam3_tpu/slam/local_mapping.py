@@ -22,10 +22,13 @@ from orbslam3_tpu.slam.map_point import MapPoint
 
 
 class LocalMapping:
-    def __init__(self, atlas, monocular: bool = False, sequential: bool = True):
+    def __init__(self, atlas, monocular: bool = False, sequential: bool = True,
+                 imu_calib=None):
         self.atlas = atlas
         self.monocular = monocular
         self.sequential = sequential
+        self.imu_calib = imu_calib
+        self.tracker = None  # set by System; needed for UpdateFrameIMU role
         self.recent_map_points: list[MapPoint] = []
         self.kf_queue: queue.Queue = queue.Queue()
         self.cur_kf = None
@@ -75,8 +78,27 @@ class LocalMapping:
             self._search_in_neighbors(kf)
             m = self.atlas.get_current_map()
             if m.n_keyframes() > 2:
-                local_bundle_adjustment(kf, m)
-            self._cull_keyframes(kf)
+                # BA mutates poses the tracker reads: exclude a concurrent
+                # Track() via the coarse map-update lock (threaded mode)
+                with m.update_lock:
+                    if (
+                        self.imu_calib is not None
+                        and getattr(m, "imu_initialized", False)
+                        and kf.imu_preint is not None
+                    ):
+                        from orbslam3_tpu.optim.local_inertial_ba import (
+                            local_inertial_ba,
+                        )
+
+                        local_inertial_ba(kf, m, self.imu_calib)
+                    else:
+                        local_bundle_adjustment(kf, m)
+            with m.update_lock:
+                self._cull_keyframes(kf)
+        if self.imu_calib is not None:
+            # re-levels/re-scales the whole map + tracker state: exclusive
+            with (kf.map or self.atlas.get_current_map()).update_lock:
+                self._try_initialize_imu(kf)
         if self.loop_closer is not None:
             self.loop_closer.insert_keyframe(kf)
 
@@ -214,6 +236,72 @@ class LocalMapping:
                     self.recent_map_points.append(mp)
                     created += 1
         return created
+
+    # --- inertial initialization (LocalMapping::InitializeIMU role,
+    # /root/reference/src/LocalMapping.cc:1173) -------------------------
+    def _try_initialize_imu(self, kf, min_kfs: int = 6, min_time: float = 1.0):
+        """Once the temporal KF chain is long enough, estimate gyro bias,
+        gravity, scale and velocities; re-level + re-scale the map
+        (Map::ApplyScaledRotation) and mark it VI-initialized."""
+        import numpy as np
+
+        from orbslam3_tpu.imu.initialization import (
+            gravity_alignment_rotation,
+            initialize_imu_chain,
+        )
+        from orbslam3_tpu.imu.preintegration import Bias
+        from orbslam3_tpu.utils.lie import SE3
+
+        m = kf.map if kf.map is not None else self.atlas.get_current_map()
+        if getattr(m, "imu_initialized", False):
+            return False
+        chain = [kf]
+        while (
+            chain[-1].prev_kf is not None
+            and not chain[-1].prev_kf.bad
+            and chain[-1].imu_preint is not None
+        ):
+            chain.append(chain[-1].prev_kf)
+        chain.reverse()
+        if len(chain) < min_kfs:
+            return False
+        if chain[-1].timestamp - chain[0].timestamp < min_time:
+            return False
+        preints = [chain[i + 1].imu_preint for i in range(len(chain) - 1)]
+        if any(p is None or p.dT <= 0 for p in preints):
+            return False
+        Tcb = self.imu_calib.Tbc.inverse()
+        Twb = [(k.Twc * Tcb).normalized() for k in chain]
+        fix_scale = not self.monocular
+        bg, s, g_w, vels = initialize_imu_chain(Twb, preints, fix_scale)
+        # sanity gates (the reference gates on observability/accel variance)
+        if not np.isfinite(s) or s < 1e-2 or s > 1e2:
+            return False
+        if abs(np.linalg.norm(g_w) - 9.81) > 2.5:
+            return False
+        if np.linalg.norm(bg) > 1.0:
+            return False
+        r_gw = gravity_alignment_rotation(g_w)
+        scale = 1.0 if fix_scale else float(s)
+        t_align = SE3(r_gw, np.zeros(3))
+        m.apply_scaled_rotation(t_align, scale, scale_vel=True)
+        bias = Bias(np.zeros(3), bg)
+        for k, v in zip(chain, vels):
+            k.velocity = scale * (r_gw @ v)
+            k.imu_bias = bias.copy()
+            if k.imu_preint is not None:
+                k.imu_preint.set_new_bias(bias)
+        # give every other KF of the map a velocity estimate by differencing
+        for k in m.get_all_keyframes():
+            if k.velocity is None and k.prev_kf is not None and k.prev_kf.velocity is not None:
+                k.velocity = k.prev_kf.velocity.copy()
+                k.imu_bias = bias.copy()
+        m.imu_initialized = True
+        m.is_inertial = True
+        if self.tracker is not None:
+            self.tracker.update_frame_imu(t_align, scale, bias, kf)
+        m.info_changed()
+        return True
 
     def _search_in_neighbors(self, kf):
         """Fuse duplicates with 1st/2nd-order neighbors (LocalMapping.cc:714)."""

@@ -12,6 +12,8 @@ deferred to the relocalization-based recovery path.
 
 from __future__ import annotations
 
+import queue
+
 import numpy as np
 
 from orbslam3_tpu.optim.essential_graph import optimize_essential_graph
@@ -22,25 +24,53 @@ from orbslam3_tpu.utils.lie import Sim3
 
 class LoopClosing:
     def __init__(self, atlas, kf_database, fix_scale: bool = True,
-                 run_gba: bool = True):
+                 run_gba: bool = True, imu_calib=None):
         self.atlas = atlas
         self.db = kf_database
         self.fix_scale = fix_scale
         self.run_gba = run_gba
+        self.imu_calib = imu_calib
         self.last_loop_kf_id = -1
         self.n_loops_closed = 0
+        # threaded mode (LoopClosing::Run, src/LoopClosing1.cc:90): a KF
+        # queue drained by spin() on a worker thread; sequential mode
+        # processes inline for determinism
+        self.sequential = True
+        self.kf_queue: queue.Queue = queue.Queue()
+        self.finished = False
 
     # ------------------------------------------------------------------
     def insert_keyframe(self, kf):
         if kf.id == 0:
             return
+        if self.sequential:
+            self._handle(kf)
+        else:
+            self.kf_queue.put(kf)
+
+    def spin(self):
+        """Worker-thread loop (LoopClosing::Run role)."""
+        while not self.finished:
+            try:
+                kf = self.kf_queue.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            self._handle(kf)
+
+    def request_finish(self):
+        self.finished = True
+
+    def _handle(self, kf):
         result = self.detect_loop(kf)
         if result is not None:
             cand, s_cur_cand, matches = result
-            if cand.map is kf.map:
-                self.correct_loop(kf, cand, s_cur_cand, matches)
-            else:
-                self.merge_maps(kf, cand, s_cur_cand)
+            # loop correction / merge mutate poses the tracker reads: take
+            # the map-update lock (mMutexMapUpdate role, Tracking3.cc:135)
+            with kf.map.update_lock:
+                if cand.map is kf.map:
+                    self.correct_loop(kf, cand, s_cur_cand, matches)
+                else:
+                    self.merge_maps(kf, cand, s_cur_cand)
 
     # ------------------------------------------------------------------
     def detect_loop(self, kf, min_matches: int = 20):
@@ -215,22 +245,40 @@ class LoopClosing:
         current map by the verified Sim3 so kf_cur lands consistently in
         the old map's frame, move them over, fuse duplicates around the
         weld, reconnect the covisibility graph, run a welding local BA, and
-        retire the young map."""
+        retire the young map.
+
+        Inertial variant (MergeLocal2 role, /root/reference/src/
+        LoopClosing3.cc:35): when either map is VI-initialized both maps are
+        gravity-leveled and metric, so the alignment is constrained to
+        4 DoF — scale forced to 1 and the rotation projected to pure yaw
+        (rotation about gravity) — and keyframe velocities are transported
+        with the rotation; the welding BA is the inertial one."""
         from orbslam3_tpu.optim.local_ba import local_bundle_adjustment
         from orbslam3_tpu.slam import matchers
 
         m_young = kf_cur.map
         m_old = kf_match.map
+        inertial = getattr(m_young, "imu_initialized", False) or getattr(
+            m_old, "imu_initialized", False
+        )
         # alignment of the young map's world into the old map's world:
         # S_w'w = (S_cur_cand * S_cand_w')^-1 * S_cur_w
         s_cur_w_target = s_cur_match * Sim3.from_se3(kf_match.Tcw)
         s_align = (s_cur_w_target.inverse() * Sim3.from_se3(kf_cur.Tcw)).normalized()
+        if inertial:
+            # project to gravity-consistent 4 DoF: unit scale, yaw-only
+            yaw = np.arctan2(s_align.R[1, 0], s_align.R[0, 0])
+            cy, sy = np.cos(yaw), np.sin(yaw)
+            r_yaw = np.array([[cy, -sy, 0.0], [sy, cy, 0.0], [0.0, 0.0, 1.0]])
+            s_align = Sim3(1.0, r_yaw, s_align.t)
 
         young_kfs = m_young.get_all_keyframes()
         young_mps = m_young.get_all_map_points()
         for k in young_kfs:
             s_new = (Sim3.from_se3(k.Tcw) * s_align.inverse()).normalized()
             k.set_pose(s_new.to_se3())
+            if getattr(k, "velocity", None) is not None:
+                k.velocity = s_align.s * (s_align.R @ k.velocity)
             k.map = m_old
             m_old.add_keyframe(k)
         for mp in young_mps:
@@ -264,7 +312,16 @@ class LoopClosing:
         self.atlas.change_map(m_old)
         self.atlas.set_map_bad(m_young)
         self.atlas.remove_bad_maps()
-        local_bundle_adjustment(kf_cur, m_old)  # welding BA
+        if inertial:
+            m_old.imu_initialized = True
+            m_old.is_inertial = True
+        # welding BA (MergeInertialBA role when VI-initialized)
+        if inertial and self.imu_calib is not None and kf_cur.imu_preint is not None:
+            from orbslam3_tpu.optim.local_inertial_ba import local_inertial_ba
+
+            local_inertial_ba(kf_cur, m_old, self.imu_calib, window=6)
+        else:
+            local_bundle_adjustment(kf_cur, m_old)
         self.last_loop_kf_id = kf_cur.id
         self.n_merges = getattr(self, "n_merges", 0) + 1
         m_old.info_changed()

@@ -34,16 +34,22 @@ class Map:
         self.is_inertial = False
         self.bad = False
         self.lock = threading.RLock()
+        # coarse map-update mutex (mMutexMapUpdate role): held by Tracking
+        # for a whole frame and by loop correction / merge / BA write-backs;
+        # distinct from `lock`, which guards the containers fine-grained
+        self.update_lock = threading.RLock()
         self.origin_kfs: list = []
 
     def __getstate__(self):
         state = self.__dict__.copy()
         state.pop("lock", None)
+        state.pop("update_lock", None)
         return state
 
     def __setstate__(self, state):
         self.__dict__.update(state)
         self.lock = threading.RLock()
+        self.update_lock = threading.RLock()
 
     def add_keyframe(self, kf):
         with self.lock:

@@ -36,6 +36,7 @@ class System:
         use_device: bool = True,
         max_frames: int = 30,
         vocabulary=None,
+        imu_calib=None,
     ):
         self.camera = camera
         self.mbf = mbf
@@ -43,10 +44,12 @@ class System:
         self.sensor = sensor
         self.use_device = use_device
         self.vocabulary = vocabulary
+        self.imu_calib = imu_calib
         self.atlas = Atlas()
         self.atlas.add_camera(camera)
         self.local_mapper = LocalMapping(
-            self.atlas, monocular=(sensor == self.MONOCULAR), sequential=sequential
+            self.atlas, monocular=("mono" in sensor), sequential=sequential,
+            imu_calib=imu_calib,
         )
         self.kf_database = None
         self.loop_closer = None
@@ -60,7 +63,9 @@ class System:
             self.local_mapper.kf_database = self.kf_database
             relocalizer = Relocalizer(self.kf_database)
             self.loop_closer = LoopClosing(
-                self.atlas, self.kf_database, fix_scale=(sensor != self.MONOCULAR)
+                self.atlas, self.kf_database,
+                fix_scale=(sensor != self.MONOCULAR),
+                imu_calib=imu_calib,
             )
             self.local_mapper.loop_closer = self.loop_closer
         self.tracker = Tracking(
@@ -70,13 +75,24 @@ class System:
             mbf,
             max_frames=max_frames,
             relocalizer=relocalizer,
+            imu_calib=imu_calib,
         )
+        self.local_mapper.tracker = self.tracker
         self._mapper_thread = None
+        self._loop_thread = None
         if not sequential:
             self._mapper_thread = threading.Thread(
                 target=self.local_mapper.spin, daemon=True
             )
             self._mapper_thread.start()
+            if self.loop_closer is not None:
+                # reference spawns LoopClosing on its own thread
+                # (System.cc:214); KFs flow mapper -> loop queue
+                self.loop_closer.sequential = False
+                self._loop_thread = threading.Thread(
+                    target=self.loop_closer.spin, daemon=True
+                )
+                self._loop_thread.start()
         self.scale_factors = orb_params.scale_factors
 
     # ------------------------------------------------------------------
@@ -131,13 +147,19 @@ class System:
         else:
             frame.feat_vec = None
         if imu is not None:
-            from orbslam3_tpu.imu.preintegration import Bias, Calib, Preintegrated
-            from orbslam3_tpu.utils.lie import SE3 as _SE3
-
-            pre = Preintegrated(Bias(), getattr(self, "imu_calib", None) or Calib(_SE3()))
-            pre.integrate_batch(*imu)
-            frame.imu_preint = pre
+            frame.imu_preint = self._preintegrate(imu)
         return self.tracker.track_frame(frame)
+
+    def _preintegrate(self, imu: tuple):
+        """Per-frame preintegration with the tracker's current bias estimate
+        (Tracking::PreintegrateIMU role)."""
+        from orbslam3_tpu.imu.preintegration import Calib, Preintegrated
+        from orbslam3_tpu.utils.lie import SE3 as _SE3
+
+        calib = self.imu_calib or Calib(_SE3())
+        pre = Preintegrated(self.tracker.current_bias(), calib)
+        pre.integrate_batch(*imu)
+        return pre
 
     def track_monocular(
         self, img: np.ndarray, timestamp: float, imu: tuple | None = None
@@ -168,12 +190,7 @@ class System:
         else:
             frame.feat_vec = None
         if imu is not None:
-            from orbslam3_tpu.imu.preintegration import Bias, Calib, Preintegrated
-            from orbslam3_tpu.utils.lie import SE3 as _SE3
-
-            pre = Preintegrated(Bias(), getattr(self, "imu_calib", None) or Calib(_SE3()))
-            pre.integrate_batch(*imu)
-            frame.imu_preint = pre
+            frame.imu_preint = self._preintegrate(imu)
         return self.tracker.track_frame(frame)
 
     def track_stereo_features(self, feats: dict, timestamp: float, bounds):
@@ -223,6 +240,19 @@ class System:
                 voc = BinaryVocabulary.load(voc_file)
             else:
                 voc = BinaryVocabulary.load_orbvoc_text(voc_file)
+        imu_calib = None
+        if "imu" in sensor or "inertial" in sensor:
+            from orbslam3_tpu.imu.preintegration import Calib
+            from orbslam3_tpu.utils.lie import SE3 as _SE3
+
+            tbc = _SE3.from_matrix(st.Tbc) if st.Tbc is not None else _SE3()
+            imu_calib = Calib(
+                Tbc=tbc,
+                noise_gyro=st.imu_noise_gyro or 1.7e-4,
+                noise_acc=st.imu_noise_acc or 2.0e-3,
+                walk_gyro=st.imu_walk_gyro or 1.9e-5,
+                walk_acc=st.imu_walk_acc or 3.0e-3,
+            )
         sysm = cls(
             camera=st.make_camera(1),
             mbf=st.bf,
@@ -231,6 +261,7 @@ class System:
             sequential=sequential,
             vocabulary=voc,
             max_frames=int(st.fps),
+            imu_calib=imu_calib,
         )
         sysm.settings = st
         sysm.tracker.depth_th = (st.bf / st.camera1[0]) * st.depth_th_factor if st.bf else 0
@@ -284,6 +315,10 @@ class System:
         self.local_mapper.request_finish()
         if self._mapper_thread is not None:
             self._mapper_thread.join(timeout=5)
+        if self.loop_closer is not None:
+            self.loop_closer.request_finish()
+        if self._loop_thread is not None:
+            self._loop_thread.join(timeout=5)
         st = getattr(self, "settings", None)
         if st is not None and st.save_atlas:
             self.save_atlas(st.save_atlas)

@@ -44,6 +44,7 @@ class Tracking:
         min_frames: int = 0,
         max_frames: int = 30,
         relocalizer=None,
+        imu_calib=None,
     ):
         self.atlas = atlas
         self.local_mapper = local_mapper
@@ -54,6 +55,9 @@ class Tracking:
         self.min_frames = min_frames
         self.max_frames = max_frames
         self.relocalizer = relocalizer
+        # inertial configuration (Tbc + noise); None = visual-only
+        self.imu_calib = imu_calib
+        self._imu_meas_since_kf: list = []
 
         self.state = TrackingState.NO_IMAGES_YET
         self.velocity: SE3 | None = None
@@ -77,6 +81,18 @@ class Tracking:
     def track_frame(self, frame: Frame) -> SE3 | None:
         """Per-frame entry (Tracking::Track, Tracking3.cc:44)."""
         self.current = frame
+        pre = getattr(frame, "imu_preint", None)
+        if pre is not None:
+            # accumulate raw samples for the next keyframe's preintegration
+            # (Tracking::PreintegrateIMU keeps mpImuPreintegratedFromLastKF)
+            self._imu_meas_since_kf.extend(pre.measurements)
+        # map-update lock for the whole frame (Tracking3.cc:135): excludes
+        # concurrent loop correction / merge in threaded mode; reentrant
+        # no-op in sequential mode
+        with self.atlas.get_current_map().update_lock:
+            return self._track_frame_locked(frame)
+
+    def _track_frame_locked(self, frame: Frame) -> SE3 | None:
         if self.state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED):
             if self.mbf > 0:
                 self._stereo_initialization(frame)
@@ -128,6 +144,13 @@ class Tracking:
             else:
                 self.velocity = None
             self._update_velocity_estimate(frame)
+            if self.imu_calib is not None:
+                # keep a VI state on every tracked frame so the next frame's
+                # inertial optimization has a previous state to bind to
+                if getattr(frame, "imu_bias", None) is None:
+                    frame.imu_bias = self.current_bias()
+                if getattr(frame, "velocity", None) is None and getattr(self, "_v_w", None) is not None:
+                    frame.velocity = self._v_w.copy()
             self._clean_vo_matches()
             if self._need_new_keyframe():
                 self._create_new_keyframe()
@@ -175,6 +198,7 @@ class Tracking:
             n_pts += 1
         if n_pts < 100:
             return
+        self._attach_imu_to_kf(kf)
         self.local_mapper.insert_keyframe(kf)
         self.ref_kf = kf
         self.last_kf = kf
@@ -236,6 +260,8 @@ class Tracking:
             m.add_map_point(mp)
         kf1.update_connections()
         kf2.update_connections()
+        self.last_kf = kf1
+        self._attach_imu_to_kf(kf2)
         self.local_mapper.insert_keyframe(kf1)
         self.local_mapper.insert_keyframe(kf2)
         self.ref_kf = kf2
@@ -367,6 +393,8 @@ class Tracking:
         if n_in < 0.6 * max(self._last_inliers, 1) or n_in < 60:
             self._search_local_points(th=5)
             n_in = self._optimize_current_pose(map_only=True)
+        # IMU fusion of the final pose (after visual outlier classification)
+        self._refine_pose_inertial()
         # count only real map points
         self.matches_inliers = 0
         for i in range(f.n):
@@ -453,6 +481,127 @@ class Tracking:
                 th = 3 if f.id < self.last_reloc_frame_id + 2 else 1
             matchers.search_by_projection_local_map(f, self.local_mps, th)
 
+    # --- inertial bookkeeping ---------------------------------------------
+    def current_bias(self):
+        """Best current bias estimate (for preintegrating incoming samples)."""
+        from orbslam3_tpu.imu.preintegration import Bias
+
+        f = self.last_frame
+        if f is not None and getattr(f, "imu_bias", None) is not None:
+            return f.imu_bias.copy()
+        if self.last_kf is not None and getattr(self.last_kf, "imu_bias", None) is not None:
+            return self.last_kf.imu_bias.copy()
+        return Bias()
+
+    def _attach_imu_to_kf(self, kf):
+        """Link the temporal KF chain and hand over the accumulated
+        preintegration since the previous keyframe (Tracking::
+        CreateNewKeyFrame sets mpImuPreintegratedFromLastKF / mPrevKF)."""
+        if self.imu_calib is None:
+            return
+        from orbslam3_tpu.imu.preintegration import Preintegrated
+
+        prev = self.last_kf
+        kf.prev_kf = prev
+        if prev is not None:
+            prev.next_kf = kf
+            kf.imu_bias = prev.imu_bias.copy()
+            if self._imu_meas_since_kf:
+                pre = Preintegrated(prev.imu_bias, self.imu_calib)
+                for a, w, dt in self._imu_meas_since_kf:
+                    pre.integrate(a, w, dt)
+                kf.imu_preint = pre
+        f = self.current
+        if getattr(f, "velocity", None) is not None:
+            kf.velocity = f.velocity.copy()
+        elif getattr(self, "_v_w", None) is not None:
+            kf.velocity = self._v_w.copy()
+        self._imu_meas_since_kf = []
+
+    def update_frame_imu(self, T: SE3, scale: float, bias, kf):
+        """Re-anchor the tracker's live frames after the map was re-leveled/
+        re-scaled by IMU initialization (Tracking::UpdateFrameIMU role):
+        the map moved under the tracker mid-frame, so the current/last frame
+        poses, velocities, and logged relative poses must follow."""
+        for f in (self.current, self.last_frame):
+            if f is None:
+                continue
+            if f.Tcw is not None:
+                twc = f.Tcw.inverse()
+                f.set_pose(SE3(T.R @ twc.R, scale * (T.R @ twc.t) + T.t).inverse())
+            f.imu_bias = bias.copy()
+            if getattr(f, "velocity", None) is not None:
+                f.velocity = scale * (T.R @ f.velocity)
+        if getattr(self, "_v_w", None) is not None:
+            self._v_w = scale * (T.R @ self._v_w)
+        # stored relative poses: rotation-invariant, translation scales
+        if scale != 1.0:
+            self.trajectory = [
+                (fid, ts, SE3(tcr.R, tcr.t * scale), ref, lost)
+                for (fid, ts, tcr, ref, lost) in self.trajectory
+            ]
+        # constant-velocity model is stale across the re-anchoring
+        self.velocity = None
+
+    def _refine_pose_inertial(self):
+        """Fuse the IMU preintegration into the frame pose once the map is
+        VI-initialized (PoseInertialOptimizationLastFrame role in
+        TrackLocalMap, Tracking4.cc:273 + Optimizer6.cc:432)."""
+        f = self.current
+        m = self.atlas.get_current_map()
+        pre = getattr(f, "imu_preint", None)
+        lf = self.last_frame
+        if (
+            self.imu_calib is None
+            or not getattr(m, "imu_initialized", False)
+            or pre is None
+            or lf is None
+            or lf.Tcw is None
+        ):
+            return
+        lv = getattr(lf, "velocity", None)
+        lb = getattr(lf, "imu_bias", None)
+        if lv is None and self.last_kf is not None and self.last_kf.velocity is not None:
+            lv, lb = self.last_kf.velocity, self.last_kf.imu_bias
+        if lv is None:
+            return
+        from orbslam3_tpu.imu.preintegration import Bias
+        from orbslam3_tpu.optim.inertial import VIState, pose_inertial_optimization
+
+        if lb is None:
+            lb = Bias()
+        Tbc = self.imu_calib.Tbc
+        Tcb = Tbc.inverse()
+        prev = VIState((Tbc * lf.Tcw).inverse().normalized(), np.asarray(lv, float), lb.copy())
+        cur = VIState((Tbc * f.Tcw).inverse().normalized(),
+                      np.asarray(lv, float), lb.copy())
+        idx = [
+            i
+            for i in range(f.n)
+            if f.map_points[i] is not None
+            and not f.map_points[i].bad
+            and not f.outlier[i]
+            and f.map_points[i].n_obs > 0
+        ]
+        if len(idx) < 10:
+            return
+        idx = np.asarray(idx)
+        out = pose_inertial_optimization(
+            cur,
+            prev,
+            pre,
+            obs_pw=np.stack([f.map_points[i].position for i in idx]),
+            obs_uv=f.kps_un[idx],
+            obs_ur=f.u_right[idx],
+            inv_sigma2=f.inv_level_sigma2[f.octave[idx]],
+            camera=f.camera,
+            mbf=f.mbf,
+            Tcb=Tcb,
+        )
+        f.set_pose(Tcb * out.Twb.inverse())
+        f.velocity = out.v.copy()
+        f.imu_bias = out.bias.copy()
+
     # --- keyframe policy ---------------------------------------------------
     def _need_new_keyframe(self) -> bool:
         f = self.current
@@ -520,6 +669,7 @@ class Tracking:
                     n_new += 1
                 if z[i] > self.depth_th and n_new > 100:
                     break
+        self._attach_imu_to_kf(kf)
         self.local_mapper.insert_keyframe(kf)
         self.last_kf = kf
         self.last_kf_frame_id = f.id
@@ -538,13 +688,16 @@ class Tracking:
         pre = getattr(frame, "imu_preint", None)
         if pre is None or self.last_frame is None or self.last_frame.Tcw is None:
             return False
-        if getattr(self, "_v_w", None) is None:
+        v = getattr(self.last_frame, "velocity", None)
+        if v is None:
+            v = getattr(self, "_v_w", None)
+        if v is None:
             return False
-        from orbslam3_tpu.imu.preintegration import Bias
-
-        twb = self.last_frame.Tcw.inverse()  # camera == body (Tbc external)
-        T_new, v_new = pre.predict_state(twb, self._v_w, Bias())
-        frame.set_pose(T_new.inverse())
+        Tbc = self.imu_calib.Tbc if self.imu_calib is not None else SE3()
+        twb = (Tbc * self.last_frame.Tcw).inverse()
+        T_new, v_new = pre.predict_state(twb, np.asarray(v, float), self.current_bias())
+        frame.set_pose(Tbc.inverse() * T_new.inverse())
+        frame.velocity = v_new.copy()
         self._v_w = v_new
         return True
 

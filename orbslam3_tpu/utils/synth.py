@@ -218,14 +218,18 @@ def trajectory_pose(k: float, step: float = 0.05) -> SE3:
 
 def imu_samples_between(
     k0: float, k1: float, fps: float = 20.0, imu_rate: float = 200.0,
-    step: float = 0.05, bias_acc=None, bias_gyro=None,
+    step: float = 0.05, bias_acc=None, bias_gyro=None, Tbc: SE3 | None = None,
 ):
     """Exact-ish IMU (specific force + body rates) between frames k0 and k1
     of the analytic trajectory, by central finite differences.
 
-    Returns (acc (N, 3), gyro (N, 3), dts (N,)) in the camera(=body) frame,
-    gravity included, optional constant biases added."""
+    Returns (acc (N, 3), gyro (N, 3), dts (N,)) in the body frame — the
+    camera frame by default, or offset by the camera-in-body extrinsics
+    `Tbc` (x_b = Tbc x_c), differentiating the body trajectory
+    Twb = Twc * Tbc^-1 exactly (lever-arm effects included).  Gravity
+    included, optional constant biases added."""
     g = np.array([0.0, 0.0, -9.81])
+    Tcb = Tbc.inverse() if Tbc is not None else None
     n = max(1, int(round((k1 - k0) * imu_rate / fps)))
     dt = (k1 - k0) / fps / n
     dk = (k1 - k0) / n
@@ -236,6 +240,8 @@ def imu_samples_between(
         T = trajectory_pose(km, step)
         Tp = trajectory_pose(km + eps_k, step)
         Tm = trajectory_pose(km - eps_k, step)
+        if Tcb is not None:
+            T, Tp, Tm = T * Tcb, Tp * Tcb, Tm * Tcb
         dt_k = eps_k / fps  # seconds per eps_k frames
         # body rates from relative rotation
         w_body = so3_log(T.R.T @ Tp.R) / dt_k
