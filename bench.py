@@ -41,7 +41,9 @@ def main() -> None:
     from orbslam3_tpu.frontend import stereo_frame as sf
 
     params = PyramidParams(n_features=1000)
-    n = 16
+    # n amortises the relay's fixed ~45 ms dispatch latency (measured with a
+    # no-op scan); at n=64 the residual overhead is < 0.7 ms/frame
+    n = 64
     pairs = jax.device_put(
         np.stack(
             [np.stack([make_frame(2 * i), make_frame(2 * i + 1)]) for i in range(n)]

@@ -21,6 +21,7 @@ from __future__ import annotations
 import math
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -28,6 +29,78 @@ import jax.numpy as jnp
 from orbslam3_tpu.oracle.orb_cpu import FAST_RING
 
 TILE = 32  # two-threshold retry granularity (work-group tile in the reference)
+
+# The XLA formulation below materialises 16 rolled planes through HBM; the
+# Pallas kernel computes the same score reading the image once per VMEM
+# strip (~6x less HBM traffic).  Same integer arithmetic -> bit-identical.
+_PALLAS_ENV = os.environ.get("ORBSLAM3_TPU_PALLAS_FAST", "1") == "1"
+
+
+def _use_pallas() -> bool:
+    try:
+        return _PALLAS_ENV and jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _raw_score_pallas(img: jax.Array, interpret: bool = False) -> jax.Array:
+    """FAST raw score via a row-strip Pallas kernel.
+
+    The ring's vertical extent is dy in [-3, 3]: the image is padded by 3
+    and passed as 7 row-shifted views so every strip block sees its halo
+    without overlapping block specs; horizontal offsets are static column
+    slices inside VMEM.  int32 throughout (Mosaic on v5e cannot legalize
+    packed int16 min/max); bit-identical to the XLA/roll formulation and
+    the CPU oracle.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    h, w = img.shape
+    strip = 32  # int32 planes; 16-plane live set must fit VMEM
+    wo = -(-w // 128) * 128
+    wp = -(-(wo + 6) // 128) * 128
+    hp = -(-h // strip) * strip
+    padded = jnp.pad(img, ((3, hp - h + 3), (3, wp - w - 3)))
+    views = [jax.lax.slice(padded, (3 + dy, 0), (3 + dy + hp, wp))
+             for dy in range(-3, 4)]
+
+    def kernel(*refs):
+        vs, out = refs[:7], refs[7]
+        c = vs[3][:, 3 : 3 + wo].astype(jnp.int32)
+        d = [
+            vs[3 + dy][:, 3 + dx : 3 + dx + wo].astype(jnp.int32) - c
+            for (dx, dy) in FAST_RING
+        ]
+
+        def arc(p):
+            m2 = [jnp.minimum(p[o], p[(o + 1) % 16]) for o in range(16)]
+            m4 = [jnp.minimum(m2[o], m2[(o + 2) % 16]) for o in range(16)]
+            m8 = [jnp.minimum(m4[o], m4[(o + 4) % 16]) for o in range(16)]
+            m9 = [jnp.minimum(m8[o], p[(o + 8) % 16]) for o in range(16)]
+            best = m9[0]
+            for o in range(1, 16):
+                best = jnp.maximum(best, m9[o])
+            return best
+
+        out[:] = jnp.maximum(arc(d), arc([-x for x in d])) - 1
+
+    score = pl.pallas_call(
+        kernel,
+        grid=(hp // strip,),
+        in_specs=[
+            pl.BlockSpec((strip, wp), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ]
+        * 7,
+        out_specs=pl.BlockSpec((strip, wo), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((hp, wo), jnp.int32),
+        interpret=interpret,
+    )(*views)
+    score = score[:h, :w]
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    inner = (ys >= 3) & (ys < h - 3) & (xs >= 3) & (xs < w - 3)
+    return jnp.where(inner, score, 0)
 
 
 def _ring_planes(img_i32: jax.Array) -> jax.Array:
@@ -54,6 +127,8 @@ def raw_score_map(img: jax.Array) -> jax.Array:
     Computed once; any thresholded map is `where(raw >= t, raw, 0)` — the
     two-threshold retry therefore costs one score evaluation, not two.
     """
+    if _use_pallas():
+        return _raw_score_pallas(img)
     h, w = img.shape
     c = img.astype(jnp.int32)
     ring = _ring_planes(c)
@@ -101,6 +176,10 @@ def detect_two_threshold(crop: jax.Array, ini_th: int, min_th: int) -> jax.Array
     lo = jnp.where(raw >= min_th, raw, 0)
     th, tw = math.ceil(h / TILE), math.ceil(w / TILE)
     hi_pad = jnp.zeros((th * TILE, tw * TILE), hi.dtype).at[:h, :w].set(hi)
-    tile_has = hi_pad.reshape(th, TILE, tw, TILE).max(axis=(1, 3)) > 0
-    use_hi = jnp.repeat(jnp.repeat(tile_has, TILE, axis=0), TILE, axis=1)[:h, :w]
+    tile_max = jax.lax.reduce_window(
+        hi_pad, jnp.int32(0), jax.lax.max, (TILE, TILE), (TILE, TILE), "VALID"
+    )
+    use_hi = (
+        jnp.repeat(jnp.repeat(tile_max > 0, TILE, axis=0), TILE, axis=1)[:h, :w]
+    )
     return nms3(jnp.where(use_hi, hi, lo))

@@ -45,28 +45,44 @@ def select_topk_grid(score: jax.Array, k: int) -> tuple[jax.Array, jax.Array, ja
     ph, pw = gy * cell, gx * cell
     padded = jnp.zeros((ph, pw), score.dtype).at[:h, :w].set(score)
 
-    def grid_maxima(m: jax.Array, c: int, mh: int = ph, mw: int = pw):
-        """Per-cell (max, y, x) for cell size c over the (mh, mw) map."""
-        ny, nx = mh // c, mw // c
-        cells = m.reshape(ny, c, nx, c).transpose(0, 2, 1, 3).reshape(ny * nx, c * c)
-        cmax = cells.max(axis=1)
-        carg = jnp.argmax(cells, axis=1)
-        ids = jnp.arange(ny * nx, dtype=jnp.int32)
-        cy = (ids // nx) * c + (carg // c).astype(jnp.int32)
-        cx = (ids % nx) * c + (carg % c).astype(jnp.int32)
-        return cmax, cy, cx
+    def grid_maxima(m: jax.Array, c: int, mh: int, mw: int):
+        """Per-cell (max, y, x, winner-mask) for cell size c over (mh, mw).
 
-    cmax, wy, wx = grid_maxima(padded, cell)
+        Score and within-cell position are packed into one int32 so a single
+        reduce_window max finds both (no reshape/transpose through HBM, no
+        scatter).  Packing (C-1-local) preserves the argmax tie-break:
+        highest score, then smallest within-cell flat index.
+        """
+        ny, nx = mh // c, mw // c
+        cc = c * c
+        ys = jax.lax.broadcasted_iota(jnp.int32, (mh, mw), 0)
+        xs = jax.lax.broadcasted_iota(jnp.int32, (mh, mw), 1)
+        local = (ys % c) * c + (xs % c)
+        packed = m.astype(jnp.int32) * cc + (cc - 1 - local)
+        pmax = jax.lax.reduce_window(
+            packed, jnp.int32(-(2**31) + 1), jax.lax.max, (c, c), (c, c), "VALID"
+        )  # (ny, nx)
+        cmax = pmax // cc
+        l_win = (cc - 1) - (pmax % cc)
+        by = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 0) * c
+        bx = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 1) * c
+        cy = by + l_win // c
+        cx = bx + l_win % c
+        pmax_full = jnp.repeat(jnp.repeat(pmax, c, axis=0), c, axis=1)
+        is_winner = packed == pmax_full
+        return cmax.reshape(-1), cy.reshape(-1), cx.reshape(-1), is_winner
+
+    cmax, wy, wx, win_mask = grid_maxima(padded, cell, ph, pw)
 
     # Residual pool: winners suppressed, then best-per-fine-cell (a 4x finer
     # grid).  A global lax.top_k over the whole map would sort ~350K values
     # (milliseconds); per-fine-cell maxima + a top-k over <=4k candidates is
     # the same spatial-uniformity objective at ~zero cost.
-    resid = padded.at[wy, wx].set(0)
+    resid = jnp.where(win_mask, 0, padded)
     fine = max(cell // 2, 1)
     fy, fx = math.ceil(ph / fine), math.ceil(pw / fine)
     resid = jnp.zeros((fy * fine, fx * fine), score.dtype).at[:ph, :pw].set(resid)
-    rresp, ry, rx = grid_maxima(resid, fine, fy * fine, fx * fine)
+    rresp, ry, rx, _ = grid_maxima(resid, fine, fy * fine, fx * fine)
 
     # zero-pad the candidate pool so it always holds >= k entries
     zpad = jnp.zeros((k,), jnp.int32)
