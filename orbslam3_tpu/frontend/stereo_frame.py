@@ -113,23 +113,18 @@ def stereo_match(
         & (sul - SAD_W >= 0) & (sul + SAD_W + 1 <= lw)
         & (sur0 - SAD_L - SAD_W >= 0) & (sur0 + SAD_L + SAD_W + 1 <= lw)
     )
-    # Patch extraction as ONE flat gather (vmapped level-indexed dynamic_slice
-    # lowers to a ~50x slower scatter-gather on TPU; flat 1-D indexing tiles
-    # cleanly — same idiom as the descriptor sampler, ops/brief.py).
+    # Patch extraction as one-hot MXU einsums (the TPU gather unit runs at
+    # ~0.1M elem/ms; these ~350K window elements cost ~3 ms as a gather but
+    # ~0.2 ms on the MXU — ops/patches.py, bit-identical).
+    from orbslam3_tpu.ops.patches import extract_level_strips
+
     h0, w0 = stack_l.shape[1:]
     cl_svl = jnp.clip(svl - SAD_W, 0, h0 - (2 * SAD_W + 1))
     cl_sul = jnp.clip(sul - SAD_W, 0, w0 - (2 * SAD_W + 1))
     cl_sur = jnp.clip(sur0 - SAD_L - SAD_W, 0, w0 - (2 * (SAD_L + SAD_W) + 1))
     wl, ww = 2 * SAD_W + 1, 2 * (SAD_L + SAD_W) + 1
-    dy = jnp.arange(wl, dtype=jnp.int32)
-    base = oct_l * (h0 * w0) + cl_svl * w0  # (K,)
-    rows = base[:, None] + dy[None, :] * w0  # (K, 11)
-    flat_l = stack_l.reshape(-1).astype(jnp.int32)
-    flat_r = stack_r.reshape(-1).astype(jnp.int32)
-    idx_l = rows[:, :, None] + (cl_sul[:, None, None] + jnp.arange(wl, dtype=jnp.int32))
-    idx_r = rows[:, :, None] + (cl_sur[:, None, None] + jnp.arange(ww, dtype=jnp.int32))
-    p_l = flat_l[idx_l]  # (K, 11, 11)
-    p_r = flat_r[idx_r]  # (K, 11, 21)
+    p_l = extract_level_strips(stack_l, oct_l, cl_svl, cl_sul, wl, wl)  # (K,11,11)
+    p_r = extract_level_strips(stack_r, oct_l, cl_svl, cl_sur, wl, ww)  # (K,11,21)
     dists = jnp.stack(
         [
             jnp.abs(p_l - p_r[:, :, j : j + wl]).sum(axis=(1, 2))

@@ -52,6 +52,38 @@ def extract_patches(img: jax.Array, xy: jax.Array, half: int) -> jax.Array:
     )
 
 
+def extract_level_strips(
+    stack: jax.Array,
+    level: jax.Array,
+    y0: jax.Array,
+    x0: jax.Array,
+    nr: int,
+    nc: int,
+) -> jax.Array:
+    """(K, nr, nc) f32 windows from a pyramid stack (L, H, W) — window k
+    reads stack[level[k], y0[k]:y0[k]+nr, x0[k]:x0[k]+nc].
+
+    Level selection folds into the row one-hot over the (L*H, W) view, so
+    the whole thing is two MXU einsums; bit-identical to the flat gather
+    (integers < 2^24 accumulate exactly in f32).
+    """
+    l, h, w = stack.shape
+    img2d = stack.reshape(l * h, w).astype(jnp.bfloat16)
+    rows = level[:, None] * h + y0[:, None] + jnp.arange(nr, dtype=jnp.int32)[None, :]
+    row_oh = onehot_bf16(rows, l * h)                    # (K, nr, L*H)
+    strips = jnp.einsum(
+        "krh,hw->krw", row_oh, img2d, preferred_element_type=jnp.float32
+    )
+    cols = x0[:, None] + jnp.arange(nc, dtype=jnp.int32)[None, :]
+    col_oh = onehot_bf16(cols, w)                        # (K, nc, W)
+    return jnp.einsum(
+        "krw,kcw->krc",
+        strips.astype(jnp.bfloat16),
+        col_oh,
+        preferred_element_type=jnp.float32,
+    )
+
+
 def sample_patches(patches: jax.Array, r: jax.Array, c: jax.Array) -> jax.Array:
     """samples[k, s] = patches[k, r[k, s], c[k, s]] via separable one-hots.
 

@@ -1,0 +1,141 @@
+"""Global bundle adjustment over a whole map.
+
+GlobalBundleAdjustemnt role (/root/reference/src/Optimizer1.cc:48,56) on the
+vectorized Schur LM, plus the inertial variant (FullInertialBA,
+Optimizer1.cc:388) which alternates the visual solve with the 15-dof
+temporal-chain adjustment of local_inertial_ba (same block-coordinate split,
+map-wide window)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from orbslam3_tpu.optim.bundle_adjustment import BAProblem, bundle_adjust
+
+
+def global_bundle_adjustment(m, n_iters: int = 10) -> int:
+    """Full-map visual BA, first KF fixed.  Returns #poses optimized."""
+    kfs = [k for k in m.get_all_keyframes() if not k.bad]
+    mps = [mp for mp in m.get_all_map_points() if not mp.bad]
+    if len(kfs) < 2 or len(mps) < 20:
+        return 0
+    kf_slot = {k: i for i, k in enumerate(kfs)}
+    cam_idx, pt_idx, uv, ur, is2 = [], [], [], [], []
+    for j, mp in enumerate(mps):
+        for k, (left, right) in mp.observations.items():
+            if k.bad or k not in kf_slot:
+                continue
+            i = left if left >= 0 else right
+            if i < 0:
+                continue
+            cam_idx.append(kf_slot[k])
+            pt_idx.append(j)
+            uv.append(k.kps_un[i])
+            ur.append(k.u_right[i])
+            is2.append(k.inv_level_sigma2[k.octave[i]])
+    if len(cam_idx) < 50:
+        return 0
+    fixed = np.zeros(len(kfs), bool)
+    fixed[0] = True
+    pr = BAProblem(
+        poses=[k.Tcw for k in kfs],
+        points=np.stack([mp.position for mp in mps]),
+        cam_idx=np.asarray(cam_idx),
+        pt_idx=np.asarray(pt_idx),
+        obs_uv=np.asarray(uv, np.float64),
+        obs_ur=np.asarray(ur, np.float64),
+        inv_sigma2=np.asarray(is2, np.float64),
+        fixed_cams=fixed,
+        camera=kfs[0].camera,
+        mbf=kfs[0].mbf,
+    )
+    poses, points, chi2 = bundle_adjust(pr, n_iters=n_iters)
+    for k, p in zip(kfs, poses):
+        if not pr.fixed_cams[kf_slot[k]]:
+            k.set_pose(p)
+    for mp, pos in zip(mps, points):
+        mp.position = pos
+        mp.update_normal_and_depth()
+    m.info_changed()
+    return len(kfs)
+
+
+def full_inertial_ba(m, calib, n_alternations: int = 2) -> int:
+    """FullInertialBA role: refine every temporal-chain state (pose,
+    velocity, bias) and every landmark of a VI-initialized map.
+
+    Same split as local_inertial_ba: landmarks move in the visual Schur
+    pass, 15-dof states move in the dense chain pass — here the chain is
+    the map's entire temporal backbone (anchor: the oldest chain KF's pose).
+    """
+    from orbslam3_tpu.imu.preintegration import Bias
+    from orbslam3_tpu.optim.local_inertial_ba import (
+        NavState,
+        optimize_inertial_window,
+    )
+    from orbslam3_tpu.utils.lie import SE3
+
+    # longest temporal chain ending at the newest keyframe
+    kfs = [k for k in m.get_all_keyframes() if not k.bad]
+    if not kfs:
+        return 0
+    tail = max(kfs, key=lambda k: k.id)
+    chain = [tail]
+    while (
+        chain[-1].prev_kf is not None
+        and not chain[-1].prev_kf.bad
+        and chain[-1].imu_preint is not None
+    ):
+        chain.append(chain[-1].prev_kf)
+    chain.reverse()
+    if len(chain) < 3:
+        return global_bundle_adjustment(m)
+    Tbc = calib.Tbc
+    Tcb = Tbc.inverse()
+
+    for _ in range(n_alternations):
+        global_bundle_adjustment(m)
+        states = []
+        for k in chain:
+            Twb = (k.Twc * Tcb).normalized()
+            states.append(
+                NavState(
+                    Twb.R,
+                    Twb.t,
+                    k.velocity if k.velocity is not None else np.zeros(3),
+                    k.imu_bias.bg.copy(),
+                    k.imu_bias.ba.copy(),
+                )
+            )
+        preints = [chain[i + 1].imu_preint for i in range(len(chain) - 1)]
+        if any(p is None for p in preints):
+            return 0
+        kf_idx, pw, uv, ur, is2 = [], [], [], [], []
+        for i, k in enumerate(chain):
+            for j, mp in k.get_map_point_indices():
+                kf_idx.append(i)
+                pw.append(mp.position)
+                uv.append(k.kps_un[j])
+                ur.append(k.u_right[j])
+                is2.append(k.inv_level_sigma2[k.octave[j]])
+        obs = dict(
+            kf_idx=np.asarray(kf_idx),
+            pw=np.asarray(pw, np.float64),
+            uv=np.asarray(uv, np.float64),
+            ur=np.asarray(ur, np.float64),
+            inv_sigma2=np.asarray(is2, np.float64),
+            camera=tail.camera,
+            mbf=tail.mbf,
+        )
+        fixed = np.zeros(len(chain), bool)
+        fixed[0] = True
+        states, _ = optimize_inertial_window(states, preints, obs, Tcb, fixed)
+        for k, s in zip(chain, states):
+            Twb = SE3(s.R, s.p).normalized()
+            k.set_pose((Twb * Tbc).inverse())
+            k.velocity = s.v.copy()
+            k.imu_bias = Bias(s.ba.copy(), s.bg.copy())
+            if k.imu_preint is not None:
+                k.imu_preint.set_new_bias(k.imu_bias)
+    m.info_changed()
+    return len(chain)

@@ -89,7 +89,10 @@ def _residuals(
         r1.T @ (p2 - p1 - v1 * dt - 0.5 * GRAVITY * dt * dt)
         - pre.get_delta_position(s.bias)
     )
-    out.append(w_inertial * np.concatenate([res_r, res_v, res_p]))
+    r9 = np.concatenate([res_r, res_v, res_p])
+    # w_inertial: (9,9) whitener (full off-diagonal information) or (9,)
+    # per-row weights (legacy/diagonal form)
+    out.append(w_inertial @ r9 if w_inertial.ndim == 2 else w_inertial * r9)
     # --- bias random walk ---------------------------------------------------
     out.append(w_bias * np.concatenate([s.bias.bg - prev.bias.bg,
                                         s.bias.ba - prev.bias.ba]))
@@ -121,11 +124,15 @@ def pose_inertial_optimization(
     previous state — EdgePriorPoseImu, include/G2oTypes.h:732.)
     """
     Tcb = Tcb or SE3()
-    # information weights from the preintegration covariance (sqrt inverse
-    # of the diagonal blocks; full off-diagonal weighting is a refinement)
-    nav_var = np.maximum(np.diagonal(pre.C[:9, :9]), 1e-12)
+    # full 9x9 whitener from the propagated preintegration covariance
+    # (EdgeInertial uses the full information matrix too), with the
+    # prior-sigma floor added on the diagonal
     floor = np.repeat(np.asarray(prior_sigma) ** 2, 3)
-    w_inertial = 1.0 / np.sqrt(nav_var + floor)
+    cov = 0.5 * (pre.C[:9, :9] + pre.C[:9, :9].T) + np.diag(floor + 1e-12)
+    try:
+        w_inertial = np.linalg.cholesky(np.linalg.inv(cov)).T
+    except np.linalg.LinAlgError:
+        w_inertial = 1.0 / np.sqrt(np.maximum(np.diagonal(cov), 1e-12))
     walk_var = np.maximum(np.diagonal(pre.C[9:15, 9:15]), 1e-14)
     w_bias = 1.0 / np.sqrt(walk_var + 1e-8)
 

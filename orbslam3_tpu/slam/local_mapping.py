@@ -99,6 +99,7 @@ class LocalMapping:
             # re-levels/re-scales the whole map + tracker state: exclusive
             with (kf.map or self.atlas.get_current_map()).update_lock:
                 self._try_initialize_imu(kf)
+                self._maybe_refine_inertial(kf)
         if self.loop_closer is not None:
             self.loop_closer.insert_keyframe(kf)
 
@@ -302,6 +303,28 @@ class LocalMapping:
             self.tracker.update_frame_imu(t_align, scale, bias, kf)
         m.info_changed()
         return True
+
+    def _maybe_refine_inertial(self, kf, viba1_at: int = 15, viba2_at: int = 30):
+        """Staged full-map VI refinement after initialization (the
+        reference's VIBA1/VIBA2 passes, LocalMapping.cc:210-241): once the
+        temporal chain is long enough, run FullInertialBA and mark the
+        map's inertial-BA stage flags."""
+        m = kf.map if kf.map is not None else self.atlas.get_current_map()
+        if not getattr(m, "imu_initialized", False):
+            return
+        n = 1
+        k = kf
+        while k.prev_kf is not None and not k.prev_kf.bad and k.imu_preint is not None:
+            n += 1
+            k = k.prev_kf
+        from orbslam3_tpu.optim.global_ba import full_inertial_ba
+
+        if not m.iniertial_ba1 and n >= viba1_at:
+            full_inertial_ba(m, self.imu_calib)
+            m.iniertial_ba1 = True
+        elif m.iniertial_ba1 and not m.iniertial_ba2 and n >= viba2_at:
+            full_inertial_ba(m, self.imu_calib)
+            m.iniertial_ba2 = True
 
     def _search_in_neighbors(self, kf):
         """Fuse duplicates with 1st/2nd-order neighbors (LocalMapping.cc:714)."""

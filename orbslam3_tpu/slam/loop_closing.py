@@ -213,7 +213,28 @@ class LoopClosing:
             if k in corrected:
                 k.corrected_sim3 = corrected[k]
         fixed = {loop_kf}
-        result = optimize_essential_graph(kfs, edges, fixed, fix_scale=self.fix_scale)
+        inertial = getattr(m, "imu_initialized", False)
+        pre_opt = {k: Sim3.from_se3(k.Tcw) for k in kfs}
+        if inertial:
+            # gravity-aligned map: 4-DoF graph (OptimizeEssentialGraph4DoF
+            # role) keeps roll/pitch and scale exact
+            from orbslam3_tpu.optim.essential_graph import (
+                optimize_essential_graph_4dof,
+            )
+
+            result = optimize_essential_graph_4dof(kfs, edges, fixed)
+        else:
+            result = optimize_essential_graph(
+                kfs, edges, fixed, fix_scale=self.fix_scale
+            )
+        if inertial:
+            # transport world-frame velocities by each KF's own correction
+            for k in kfs:
+                v = getattr(k, "velocity", None)
+                if v is None:
+                    continue
+                w_corr = result[k].inverse() * pre_opt[k]
+                k.velocity = w_corr.s * (w_corr.R @ v)
 
         # transport remaining map points by their reference keyframe's move
         for mp in m.get_all_map_points():
@@ -329,49 +350,15 @@ class LoopClosing:
 
     # ------------------------------------------------------------------
     def _global_ba(self, m, kf):
-        """Full-map BA (GlobalBundleAdjustemnt role), first KF fixed."""
-        from orbslam3_tpu.optim.bundle_adjustment import BAProblem, bundle_adjust
-
-        kfs = [k for k in m.get_all_keyframes() if not k.bad]
-        mps = [mp for mp in m.get_all_map_points() if not mp.bad]
-        if len(kfs) < 2 or len(mps) < 20:
-            return
-        kf_slot = {k: i for i, k in enumerate(kfs)}
-        mp_slot = {mp.id: j for j, mp in enumerate(mps)}
-        cam_idx, pt_idx, uv, ur, is2 = [], [], [], [], []
-        for j, mp in enumerate(mps):
-            for k, (left, right) in mp.observations.items():
-                if k.bad or k not in kf_slot:
-                    continue
-                i = left if left >= 0 else right
-                if i < 0:
-                    continue
-                cam_idx.append(kf_slot[k])
-                pt_idx.append(j)
-                uv.append(k.kps_un[i])
-                ur.append(k.u_right[i])
-                is2.append(k.inv_level_sigma2[k.octave[i]])
-        if len(cam_idx) < 50:
-            return
-        fixed = np.zeros(len(kfs), bool)
-        fixed[0] = True
-        pr = BAProblem(
-            poses=[k.Tcw for k in kfs],
-            points=np.stack([mp.position for mp in mps]),
-            cam_idx=np.asarray(cam_idx),
-            pt_idx=np.asarray(pt_idx),
-            obs_uv=np.asarray(uv, np.float64),
-            obs_ur=np.asarray(ur, np.float64),
-            inv_sigma2=np.asarray(is2, np.float64),
-            fixed_cams=fixed,
-            camera=kfs[0].camera,
-            mbf=kfs[0].mbf,
+        """Full-map BA after a correction: visual (GlobalBundleAdjustemnt
+        role) or, on VI-initialized maps with a known calib, the inertial
+        variant (FullInertialBA role) — see optim/global_ba.py."""
+        from orbslam3_tpu.optim.global_ba import (
+            full_inertial_ba,
+            global_bundle_adjustment,
         )
-        poses, points, chi2 = bundle_adjust(pr, n_iters=10)
-        for k, p in zip(kfs, poses):
-            if not pr.fixed_cams[kf_slot[k]]:
-                k.set_pose(p)
-        for mp, pos in zip(mps, points):
-            mp.position = pos
-            mp.update_normal_and_depth()
-        m.info_changed()
+
+        if getattr(m, "imu_initialized", False) and self.imu_calib is not None:
+            full_inertial_ba(m, self.imu_calib)
+        else:
+            global_bundle_adjustment(m)

@@ -143,6 +143,7 @@ def stereo_sequence(
     w: int,
     seed: int = 0,
     step: float = 0.05,
+    pose_fn=None,
 ):
     """Yields (img_left, img_right, Tcw_left ground truth) along a smooth
     lateral+forward trajectory in front of a tilted textured plane."""
@@ -193,7 +194,7 @@ def stereo_sequence(
     T_rl = SE3(np.eye(3), np.array([-baseline, 0.0, 0.0]))  # left point -> right cam
     frames = []
     for k in range(n_frames):
-        Twc = trajectory_pose(k, step)
+        Twc = pose_fn(k) if pose_fn is not None else trajectory_pose(k, step)
         Tcw = Twc.inverse()
         img_l = render_world(walls, camera, Tcw, h, w)
         img_r = render_world(walls, camera, T_rl * Tcw, h, w)
