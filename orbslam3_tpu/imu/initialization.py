@@ -48,6 +48,7 @@ def align_visual_inertial(
     Twb_list: list,
     preints: list,
     fix_scale: bool = False,
+    fix_gravity_norm: bool = True,
 ):
     """Linear VI alignment.  Twb_list: N body poses (world->body SE3 inverses
     NOT required — these are Twb, body in visual-world frame); preints: N-1.
@@ -55,6 +56,12 @@ def align_visual_inertial(
     Unknowns: scale s (1), gravity g (3), velocities v_i (3N), solved from
       s*(p_{i+1}-p_i) = v_i dT + 0.5 g dT^2 + R_i dP_i
       v_{i+1} = v_i + g dT + R_i dV_i
+    With `fix_gravity_norm` the free 3-dof gravity of the first solve is
+    refined on the 2-dof tangent of the |g| = 9.81 sphere (re-solved
+    iteratively) — a free-norm gravity absorbs scale error for low-dynamics
+    trajectories, which is exactly the mono-inertial failure mode (the
+    reference constrains |g| the same way via VertexGDir,
+    include/G2oTypes.h:274).
     Returns (s, g_world, velocities (N, 3))."""
     n = len(Twb_list)
     m = n - 1
@@ -90,7 +97,59 @@ def align_visual_inertial(
         s = float(x[0])
         g = x[1:4]
         v = x[4:].reshape(n, 3)
-    return s, g, v
+    if not fix_gravity_norm:
+        return s, g, v
+
+    # --- refine on the fixed-|g| sphere -----------------------------------
+    g_mag = float(np.linalg.norm(GRAVITY))
+    g_hat = g / max(np.linalg.norm(g), 1e-12)
+    for _ in range(4):
+        # tangent basis at g_hat
+        ref = np.array([1.0, 0.0, 0.0])
+        if abs(g_hat @ ref) > 0.9:
+            ref = np.array([0.0, 1.0, 0.0])
+        b1 = np.cross(g_hat, ref)
+        b1 /= np.linalg.norm(b1)
+        b2 = np.cross(g_hat, b1)
+        # unknowns: [s?] + [w1 w2] + velocities; g = g_mag*g_hat + w1 b1 + w2 b2
+        nu2 = n_s + 2 + 3 * n
+        a2 = np.zeros((6 * m, nu2))
+        rhs2 = np.zeros(6 * m)
+        g0 = g_mag * g_hat
+        for i, pre in enumerate(preints):
+            ri = Twb_list[i].R
+            pi, pj = Twb_list[i].t, Twb_list[i + 1].t
+            dt = pre.dT
+            r0 = 6 * i
+            a2[r0 : r0 + 3, n_s] = -0.5 * dt * dt * b1
+            a2[r0 : r0 + 3, n_s + 1] = -0.5 * dt * dt * b2
+            a2[r0 : r0 + 3, n_s + 2 + 3 * i : n_s + 5 + 3 * i] = -dt * np.eye(3)
+            base = ri @ pre.dP + 0.5 * dt * dt * g0
+            if fix_scale:
+                rhs2[r0 : r0 + 3] = base - (pj - pi)
+            else:
+                a2[r0 : r0 + 3, 0] = pj - pi
+                rhs2[r0 : r0 + 3] = base
+            r1 = r0 + 3
+            a2[r1 : r1 + 3, n_s] = dt * b1
+            a2[r1 : r1 + 3, n_s + 1] = dt * b2
+            a2[r1 : r1 + 3, n_s + 2 + 3 * i : n_s + 5 + 3 * i] = np.eye(3)
+            a2[r1 : r1 + 3, n_s + 2 + 3 * (i + 1) : n_s + 5 + 3 * (i + 1)] = -np.eye(3)
+            rhs2[r1 : r1 + 3] = -ri @ pre.dV - dt * g0
+        x2, *_ = np.linalg.lstsq(a2, rhs2, rcond=None)
+        if fix_scale:
+            s = 1.0
+            w1, w2 = x2[0], x2[1]
+            v = x2[2:].reshape(n, 3)
+        else:
+            s = float(x2[0])
+            w1, w2 = x2[1], x2[2]
+            v = x2[3:].reshape(n, 3)
+        g_new = g0 + w1 * b1 + w2 * b2
+        g_hat = g_new / max(np.linalg.norm(g_new), 1e-12)
+        if abs(w1) + abs(w2) < 1e-9:
+            break
+    return s, g_mag * g_hat, v
 
 
 class _CorrectedPre:

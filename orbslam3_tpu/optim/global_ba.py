@@ -60,13 +60,20 @@ def global_bundle_adjustment(m, n_iters: int = 10) -> int:
     return len(kfs)
 
 
-def full_inertial_ba(m, calib, n_alternations: int = 2) -> int:
+def full_inertial_ba(m, calib, n_alternations: int = 2, opt_scale: bool = False,
+                     ba_prior_sigma: float | None = None):
     """FullInertialBA role: refine every temporal-chain state (pose,
     velocity, bias) and every landmark of a VI-initialized map.
 
     Same split as local_inertial_ba: landmarks move in the visual Schur
     pass, 15-dof states move in the dense chain pass — here the chain is
     the map's entire temporal backbone (anchor: the oldest chain KF's pose).
+
+    With `opt_scale` (mono-inertial) the chain pass additionally solves a
+    global landmark scale jointly with the poses (see
+    optimize_inertial_window) and the whole map is rescaled accordingly.
+    Returns the chain length, or (chain length, cumulative scale,
+    scale center) when opt_scale is set.
     """
     from orbslam3_tpu.imu.preintegration import Bias
     from orbslam3_tpu.optim.local_inertial_ba import (
@@ -89,9 +96,12 @@ def full_inertial_ba(m, calib, n_alternations: int = 2) -> int:
         chain.append(chain[-1].prev_kf)
     chain.reverse()
     if len(chain) < 3:
-        return global_bundle_adjustment(m)
+        n = global_bundle_adjustment(m)
+        return (n, 1.0, np.zeros(3)) if opt_scale else n
     Tbc = calib.Tbc
     Tcb = Tbc.inverse()
+    s_total = 1.0
+    s_center_out = np.zeros(3)
 
     for _ in range(n_alternations):
         global_bundle_adjustment(m)
@@ -109,7 +119,7 @@ def full_inertial_ba(m, calib, n_alternations: int = 2) -> int:
             )
         preints = [chain[i + 1].imu_preint for i in range(len(chain) - 1)]
         if any(p is None for p in preints):
-            return 0
+            return (0, s_total, s_center_out) if opt_scale else 0
         kf_idx, pw, uv, ur, is2 = [], [], [], [], []
         for i, k in enumerate(chain):
             for j, mp in k.get_map_point_indices():
@@ -129,7 +139,16 @@ def full_inertial_ba(m, calib, n_alternations: int = 2) -> int:
         )
         fixed = np.zeros(len(chain), bool)
         fixed[0] = True
-        states, _ = optimize_inertial_window(states, preints, obs, Tcb, fixed)
+        if opt_scale:
+            states, _, s_corr, s_center = optimize_inertial_window(
+                states, preints, obs, Tcb, fixed, opt_scale=True,
+                ba_prior_sigma=ba_prior_sigma,
+            )
+        else:
+            states, _ = optimize_inertial_window(
+                states, preints, obs, Tcb, fixed, ba_prior_sigma=ba_prior_sigma
+            )
+            s_corr, s_center = 1.0, np.zeros(3)
         for k, s in zip(chain, states):
             Twb = SE3(s.R, s.p).normalized()
             k.set_pose((Twb * Tbc).inverse())
@@ -137,5 +156,22 @@ def full_inertial_ba(m, calib, n_alternations: int = 2) -> int:
             k.imu_bias = Bias(s.ba.copy(), s.bg.copy())
             if k.imu_preint is not None:
                 k.imu_preint.set_new_bias(k.imu_bias)
+        if opt_scale and abs(s_corr - 1.0) > 1e-9:
+            # physically apply the landmark scale the chain pass solved for
+            # (scaled about the anchor, keeping it fixed)
+            chain_set = set(chain)
+            for mp in m.get_all_map_points():
+                mp.position = s_center + s_corr * (mp.position - s_center)
+            for k in m.get_all_keyframes():
+                if k in chain_set or k.bad:
+                    continue
+                twc = k.Twc
+                k.set_pose(
+                    SE3(twc.R, s_center + s_corr * (twc.t - s_center)).inverse()
+                )
+                if k.velocity is not None:
+                    k.velocity = k.velocity * s_corr
+            s_total *= s_corr
+            s_center_out = s_center
     m.info_changed()
-    return len(chain)
+    return (len(chain), s_total, s_center_out) if opt_scale else len(chain)

@@ -87,17 +87,24 @@ def _right_jacobian(phi: np.ndarray) -> np.ndarray:
 # residual already whitened (premultiplied by the sqrt information).
 # ---------------------------------------------------------------------------
 
-def _visual_block(states, Tcb: SE3, obs):
+def _visual_block(states, Tcb: SE3, obs, log_scale: float = 0.0,
+                  scale_center: np.ndarray | None = None):
     """Reprojection residuals of fixed landmarks vs the window states.
 
     obs: dict with kf_idx (O,), pw (O,3), uv (O,2), ur (O,), inv_sigma2 (O,).
     Returns residual rows (O,3) (3rd row zero for mono), jacobians (O,3,6)
-    w.r.t. [phi, dp] of the owning state, mask of stereo rows, chi2 (O,).
+    w.r.t. [phi, dp] of the owning state, the jacobian column (O,3) w.r.t.
+    a global landmark log-scale (landmarks enter as
+    c + e^sigma * (pw - c), scaled about the anchor `scale_center` so the
+    fixed anchor pose stays consistent — the mono-inertial scale variable),
+    mask of stereo rows, chi2 (O,).
     """
     Rcb, tcb = Tcb.R, Tcb.t
     R = np.stack([states[i].R for i in range(len(states))])[obs["kf_idx"]]
     p = np.stack([states[i].p for i in range(len(states))])[obs["kf_idx"]]
-    pw = obs["pw"]
+    c0 = np.zeros(3) if scale_center is None else scale_center
+    pw_rel = (obs["pw"] - c0) * np.exp(log_scale)
+    pw = c0 + pw_rel
     pb = ((pw - p)[:, None, :] @ R)[:, 0, :]          # R^T (pw - p)
     pc = pb @ Rcb.T + tcb
     camera = obs["camera"]
@@ -118,9 +125,14 @@ def _visual_block(states, Tcb: SE3, obs):
     mz = (obs["mbf"] / (z * z))[:, None]
     j_ur = np.where(stereo[:, None], j_uv[:, 0, :] + mz * dpc[:, 2, :], 0.0)
     jac = np.concatenate([j_uv, j_ur[:, None, :]], axis=1)    # (O, 3, 6)
+    # global log-scale column: d pb/d sigma = R^T e^s (pw-c); d pc = Rcb @ .
+    dpc_s = (pw_rel[:, None, :] @ R)[:, 0, :] @ Rcb.T          # (O, 3)
+    j_uv_s = np.einsum("orj,oj->or", jproj, dpc_s)             # (O, 2)
+    j_ur_s = np.where(stereo, j_uv_s[:, 0] + mz[:, 0] * dpc_s[:, 2], 0.0)
+    jac_s = np.concatenate([j_uv_s, j_ur_s[:, None]], axis=1)  # (O, 3)
     # residual = obs - pred -> d res = -jac
     chi2 = np.where(stereo, (res**2).sum(1), (res[:, :2] ** 2).sum(1)) * obs["inv_sigma2"]
-    return res, -jac, stereo, chi2
+    return res, -jac, -jac_s, stereo, chi2
 
 
 def _inertial_block(s1: NavState, s2: NavState, pre):
@@ -194,12 +206,28 @@ def optimize_inertial_window(
     fixed: np.ndarray,
     n_iters: int = 8,
     huber: bool = True,
+    opt_scale: bool = False,
+    ba_prior_sigma: float | None = None,
 ):
     """GN/LM over the chain.  states: N NavStates; preints: N-1 windows
     (preints[i] spans states[i] -> states[i+1]); visual_obs as in
     _visual_block (kf_idx indexes `states`); fixed: (N,) bool.
 
-    Returns (new states, final visual chi2 per observation or None).
+    `ba_prior_sigma` adds an absolute prior pulling every free state's
+    accelerometer bias toward zero (the reference's priorA edges,
+    Optimizer4.cc InertialOptimization priors): without it the weakly
+    excited accel-bias direction silently absorbs map-scale error during
+    the visual-inertial initialization phase.
+
+    With `opt_scale` a global landmark log-scale joins the state (landmarks
+    enter the visual residuals as e^sigma * pw while poses stay free): the
+    joint solve recovers mono-inertial metric scale without the
+    errors-in-variables attenuation that biases any poses-fixed linear
+    alignment (Optimizer::InertialOptimization-with-scale role,
+    /root/reference/src/Optimizer5.cc:52).
+
+    Returns (new states, final visual chi2 or None) — and with opt_scale,
+    (states, chi2, scale) where scale = e^sigma to apply to the map.
     """
     n = len(states)
     free_idx = np.nonzero(~np.asarray(fixed))[0]
@@ -208,6 +236,14 @@ def optimize_inertial_window(
     if nf == 0:
         return [s.copy() for s in states], None
     states = [s.copy() for s in states]
+    nvar = 15 * nf + (1 if opt_scale else 0)
+    sigma = 0.0
+    scale_center = None
+    if opt_scale:
+        anchors = np.nonzero(np.asarray(fixed))[0]
+        scale_center = (
+            states[int(anchors[0])].p.copy() if len(anchors) else np.zeros(3)
+        )
 
     # whiteners for the inertial and walk blocks (fixed across iterations —
     # the covariances are measurement properties, not state-dependent)
@@ -215,14 +251,16 @@ def optimize_inertial_window(
     w_gw = [_sqrt_info(p.C[9:12, 9:12], 1e-14) for p in preints]
     w_aw = [_sqrt_info(p.C[12:15, 12:15], 1e-12) for p in preints]
 
-    def build(st):
-        h = np.zeros((15 * nf, 15 * nf))
-        g = np.zeros(15 * nf)
+    def build(st, sig):
+        h = np.zeros((nvar, nvar))
+        g = np.zeros(nvar)
         cost = 0.0
         chi2_vis = None
         # --- visual ---
         if visual_obs is not None and len(visual_obs["pw"]):
-            res, jac, stereo, chi2 = _visual_block(st, Tcb, visual_obs)
+            res, jac, jac_s, stereo, chi2 = _visual_block(
+                st, Tcb, visual_obs, sig, scale_center
+            )
             chi2_vis = chi2
             w = visual_obs["inv_sigma2"].copy()
             if huber:
@@ -251,6 +289,19 @@ def optimize_inertial_window(
             for k in range(nf):
                 h[k * 15 : k * 15 + 6, k * 15 : k * 15 + 6] += h66[k]
                 g[k * 15 : k * 15 + 6] += g6[k]
+            if opt_scale:
+                sc = nvar - 1
+                jsw = jac_s * w[:, None]                       # (O, 3)
+                h[sc, sc] += float(np.einsum("or,or->", jsw, jac_s))
+                g[sc] += float(np.einsum("or,or->", jsw, res))
+                # pose-scale cross terms (including obs on fixed states:
+                # their pose block is absent but sigma is global)
+                cross = np.einsum("ori,or->oi", jw, jac_s)     # (O, 6)
+                c6 = np.zeros((nf, 6))
+                np.add.at(c6, sl[m], cross[m])
+                for k in range(nf):
+                    h[k * 15 : k * 15 + 6, sc] += c6[k]
+                    h[sc, k * 15 : k * 15 + 6] += c6[k]
         # --- inertial + walk ---
         for i, pre in enumerate(preints):
             r, J1, J2 = _inertial_block(st[i], st[i + 1], pre)
@@ -267,6 +318,14 @@ def optimize_inertial_window(
                 g[sa : sa + 15] += Ja.T @ rw
                 for sb, Jb in parts:
                     h[sa : sa + 15, sb : sb + 15] += Ja.T @ Jb
+            # absolute accel-bias prior (priorA role)
+            if ba_prior_sigma is not None and int(i + 1) in slot:
+                wp = 1.0 / ba_prior_sigma
+                sa = slot[i + 1] * 15 + 12
+                r_ba = wp * st[i + 1].ba
+                cost += float(r_ba @ r_ba)
+                h[sa : sa + 3, sa : sa + 3] += wp * wp * np.eye(3)
+                g[sa : sa + 3] += wp * r_ba
             # bias random walk between i and i+1 (binds both bias blocks)
             r_g = st[i + 1].bg - st[i].bg
             r_a = st[i + 1].ba - st[i].ba
@@ -285,7 +344,72 @@ def optimize_inertial_window(
         return h, g, cost, chi2_vis
 
     lam = 1e-4
-    h, g, cost, chi2_vis = build(states)
+    h, g, cost, chi2_vis = build(states, sigma)
+    if opt_scale:
+        # 1-D line search along the scale ray (poses+velocities+landmarks
+        # scaled together about the anchor) before the joint solve: the
+        # coupled problem has a visually-consistent local minimum where the
+        # accel biases absorb the inertial misfit — the ray scan jumps the
+        # valley that separates it from the metric optimum.
+        def _solve_velocities(st):
+            """Exact LSQ velocities given poses/biases (residuals are
+            linear in v); one dense solve over 3N unknowns."""
+            nn = len(st)
+            hh = np.zeros((3 * nn, 3 * nn))
+            gg = np.zeros(3 * nn)
+            for i, pre in enumerate(preints):
+                r, J1, J2 = _inertial_block(st[i], st[i + 1], pre)
+                rw = w_in[i] @ r
+                j1 = w_in[i] @ J1[:, 6:9]
+                j2 = w_in[i] @ J2[:, 6:9]
+                s1, s2 = 3 * i, 3 * (i + 1)
+                hh[s1 : s1 + 3, s1 : s1 + 3] += j1.T @ j1
+                hh[s2 : s2 + 3, s2 : s2 + 3] += j2.T @ j2
+                hh[s1 : s1 + 3, s2 : s2 + 3] += j1.T @ j2
+                hh[s2 : s2 + 3, s1 : s1 + 3] += j2.T @ j1
+                gg[s1 : s1 + 3] += j1.T @ rw
+                gg[s2 : s2 + 3] += j2.T @ rw
+            try:
+                dv = np.linalg.solve(hh + 1e-9 * np.eye(3 * nn), -gg)
+            except np.linalg.LinAlgError:
+                return st
+            return [
+                NavState(s.R, s.p, s.v + dv[3 * i : 3 * i + 3], s.bg, s.ba)
+                for i, s in enumerate(st)
+            ]
+
+        def ray_states(lam_s):
+            # Scale EVERY state's position about the anchor (which is
+            # therefore invariant) — including fixed states: the solver
+            # can't touch them, so the ray must carry them, else their
+            # edges pin the scale.  Velocities are RE-SOLVED exactly for
+            # each candidate scale (the stored estimates may sit at a
+            # different effective scale than the positions — inertial
+            # refinements pull them metric-ward while vision holds the
+            # positions), and accel biases reset to zero (they may have
+            # absorbed scale error), so the scan profiles a self-consistent
+            # trajectory at each candidate scale.
+            st = [
+                NavState(
+                    s.R.copy(),
+                    scale_center + lam_s * (s.p - scale_center),
+                    lam_s * s.v,
+                    s.bg.copy(),
+                    np.zeros(3),
+                )
+                for s in states
+            ]
+            return _solve_velocities(st)
+
+        best_c, best_lam = cost, 1.0
+        for lam_try in np.exp(np.linspace(np.log(0.4), np.log(2.5), 25)):
+            _, _, c_try, _ = build(ray_states(lam_try), float(np.log(lam_try)))
+            if c_try < best_c:
+                best_c, best_lam = c_try, float(lam_try)
+        if best_lam != 1.0:
+            states = ray_states(best_lam)
+            sigma = float(np.log(best_lam))
+            h, g, cost, chi2_vis = build(states, sigma)
     for _ in range(n_iters):
         stepped = False
         for _ in range(6):
@@ -298,15 +422,19 @@ def optimize_inertial_window(
             st_new = [s.copy() for s in states]
             for ki, k in slot.items():
                 st_new[ki] = _retract(states[ki], dx[k * 15 : k * 15 + 15])
-            h2, g2, c2, chi2_new = build(st_new)
+            sig_new = sigma + (float(dx[-1]) if opt_scale else 0.0)
+            h2, g2, c2, chi2_new = build(st_new, sig_new)
             if c2 < cost:
                 states, h, g, cost, chi2_vis = st_new, h2, g2, c2, chi2_new
+                sigma = sig_new
                 lam = max(lam / 3, 1e-9)
                 stepped = True
                 break
             lam *= 10
         if not stepped:
             break
+    if opt_scale:
+        return states, chi2_vis, float(np.exp(sigma)), scale_center
     return states, chi2_vis
 
 
@@ -315,7 +443,8 @@ def optimize_inertial_window(
 # visual Schur BA, write back.
 # ---------------------------------------------------------------------------
 
-def local_inertial_ba(kf, map_, calib, window: int = 10, recent_gba: bool = False):
+def local_inertial_ba(kf, map_, calib, window: int = 10, recent_gba: bool = False,
+                      ba_prior_sigma: float | None = None):
     """Optimizer::LocalInertialBA role: take the temporal chain ending at
     `kf` (linked via kf.prev_kf with preintegrations), refine its states and
     the local landmarks.  Landmarks move in the visual Schur pass
@@ -376,7 +505,9 @@ def local_inertial_ba(kf, map_, calib, window: int = 10, recent_gba: bool = Fals
         )
         fixed = np.zeros(len(chain), bool)
         fixed[0] = True  # temporal anchor (reference fixes the predecessor)
-        states, _ = optimize_inertial_window(states, preints, obs, Tcb, fixed)
+        states, _ = optimize_inertial_window(
+            states, preints, obs, Tcb, fixed, ba_prior_sigma=ba_prior_sigma
+        )
         for k, s in zip(chain, states):
             Twb = SE3(s.R, s.p).normalized()
             k.set_pose((Twb * Tbc).inverse())

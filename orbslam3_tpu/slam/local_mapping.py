@@ -90,7 +90,12 @@ class LocalMapping:
                             local_inertial_ba,
                         )
 
-                        local_inertial_ba(kf, m, self.imu_calib)
+                        local_inertial_ba(
+                            kf, m, self.imu_calib,
+                            ba_prior_sigma=(
+                                0.03 if not m.iniertial_ba2 else None
+                            ),
+                        )
                     else:
                         local_bundle_adjustment(kf, m)
             with m.update_lock:
@@ -240,7 +245,7 @@ class LocalMapping:
 
     # --- inertial initialization (LocalMapping::InitializeIMU role,
     # /root/reference/src/LocalMapping.cc:1173) -------------------------
-    def _try_initialize_imu(self, kf, min_kfs: int = 6, min_time: float = 1.0):
+    def _try_initialize_imu(self, kf, min_kfs: int = 6, min_time: float = None):
         """Once the temporal KF chain is long enough, estimate gyro bias,
         gravity, scale and velocities; re-level + re-scale the map
         (Map::ApplyScaledRotation) and mark it VI-initialized."""
@@ -253,6 +258,10 @@ class LocalMapping:
         from orbslam3_tpu.imu.preintegration import Bias
         from orbslam3_tpu.utils.lie import SE3
 
+        if min_time is None:
+            # mono scale is weakly observable: wait longer (the reference
+            # gates mono at 2 s vs 1 s stereo, LocalMapping.cc:186-194)
+            min_time = 2.0 if self.monocular else 1.0
         m = kf.map if kf.map is not None else self.atlas.get_current_map()
         if getattr(m, "imu_initialized", False):
             return False
@@ -282,6 +291,13 @@ class LocalMapping:
             return False
         if np.linalg.norm(bg) > 1.0:
             return False
+        if not fix_scale:
+            # mono scale suffers errors-in-variables attenuation on noisy
+            # early maps: only trust it once two consecutive windows agree
+            prev_s = getattr(m, "_mono_s_estimate", None)
+            m._mono_s_estimate = s
+            if prev_s is None or abs(s / prev_s - 1.0) > 0.1:
+                return False
         r_gw = gravity_alignment_rotation(g_w)
         scale = 1.0 if fix_scale else float(s)
         t_align = SE3(r_gw, np.zeros(3))
@@ -314,17 +330,131 @@ class LocalMapping:
             return
         n = 1
         k = kf
+        chain = [kf]
         while k.prev_kf is not None and not k.prev_kf.bad and k.imu_preint is not None:
             n += 1
             k = k.prev_kf
+            chain.append(k)
         from orbslam3_tpu.optim.global_ba import full_inertial_ba
 
+        if self.monocular and not m.iniertial_ba1:
+            # ScaleRefinement role (LocalMapping.cc:1429) until VIBA1: the
+            # joint chain pass with an explicit landmark-scale variable
+            # (poses free -> no errors-in-variables bias; a poses-fixed
+            # linear re-alignment systematically shrinks the estimate)
+            self._scale_refinement(m, kf)
         if not m.iniertial_ba1 and n >= viba1_at:
-            full_inertial_ba(m, self.imu_calib)
+            out = full_inertial_ba(m, self.imu_calib, opt_scale=self.monocular,
+                                   ba_prior_sigma=0.03)
+            self._after_map_scale(out, kf)
             m.iniertial_ba1 = True
         elif m.iniertial_ba1 and not m.iniertial_ba2 and n >= viba2_at:
-            full_inertial_ba(m, self.imu_calib)
+            out = full_inertial_ba(m, self.imu_calib, opt_scale=self.monocular)
+            self._after_map_scale(out, kf)
             m.iniertial_ba2 = True
+
+    def _after_map_scale(self, out, kf):
+        """Re-anchor the tracker when a refinement rescaled the map."""
+        if not isinstance(out, tuple):
+            return
+        _n, s_total, center = out
+        if abs(s_total - 1.0) > 1e-6 and self.tracker is not None:
+            from orbslam3_tpu.utils.lie import SE3
+
+            # scale about `center`: twc' = s*twc + (1-s)*c
+            t_corr = SE3(t=(1.0 - s_total) * center)
+            self.tracker.update_frame_imu(
+                t_corr, float(s_total), kf.imu_bias, kf
+            )
+
+    def _scale_refinement(self, m, kf, window: int = 12):
+        """Joint scale-aware chain pass over the recent window; applies the
+        solved landmark scale to the whole map + tracker."""
+        import numpy as np
+
+        from orbslam3_tpu.optim.local_inertial_ba import (
+            NavState,
+            optimize_inertial_window,
+        )
+        from orbslam3_tpu.utils.lie import SE3
+
+        chain = [kf]
+        while (
+            len(chain) < window
+            and chain[-1].prev_kf is not None
+            and not chain[-1].prev_kf.bad
+            and chain[-1].imu_preint is not None
+        ):
+            chain.append(chain[-1].prev_kf)
+        chain.reverse()
+        if len(chain) < 6:
+            return
+        preints = [chain[i + 1].imu_preint for i in range(len(chain) - 1)]
+        if any(p is None or p.dT <= 0 for p in preints):
+            return
+        Tbc = self.imu_calib.Tbc
+        Tcb = Tbc.inverse()
+        states = []
+        for k in chain:
+            Twb = (k.Twc * Tcb).normalized()
+            states.append(
+                NavState(
+                    Twb.R, Twb.t,
+                    k.velocity if k.velocity is not None else np.zeros(3),
+                    k.imu_bias.bg.copy(), k.imu_bias.ba.copy(),
+                )
+            )
+        kf_idx, pw, uv, ur, is2 = [], [], [], [], []
+        for i, k in enumerate(chain):
+            for j, mp in k.get_map_point_indices():
+                kf_idx.append(i)
+                pw.append(mp.position)
+                uv.append(k.kps_un[j])
+                ur.append(k.u_right[j])
+                is2.append(k.inv_level_sigma2[k.octave[j]])
+        if len(kf_idx) < 50:
+            return
+        obs = dict(
+            kf_idx=np.asarray(kf_idx), pw=np.asarray(pw, np.float64),
+            uv=np.asarray(uv, np.float64), ur=np.asarray(ur, np.float64),
+            inv_sigma2=np.asarray(is2, np.float64),
+            camera=kf.camera, mbf=kf.mbf,
+        )
+        fixed = np.zeros(len(chain), bool)
+        fixed[0] = True
+        states, _, s_corr, s_center = optimize_inertial_window(
+            states, preints, obs, Tcb, fixed, opt_scale=True,
+            ba_prior_sigma=0.03,
+        )
+        if not np.isfinite(s_corr) or not (0.5 < s_corr < 2.0):
+            return
+        from orbslam3_tpu.imu.preintegration import Bias
+
+        for k, s in zip(chain, states):
+            Twb = SE3(s.R, s.p).normalized()
+            k.set_pose((Twb * Tbc).inverse())
+            k.velocity = s.v.copy()
+            k.imu_bias = Bias(s.ba.copy(), s.bg.copy())
+        if abs(s_corr - 1.0) > 1e-6:
+            chain_set = set(chain)
+            for mp in m.get_all_map_points():
+                mp.position = s_center + s_corr * (mp.position - s_center)
+                mp.update_normal_and_depth()
+            for k in m.get_all_keyframes():
+                if k in chain_set or k.bad:
+                    continue
+                twc = k.Twc
+                k.set_pose(
+                    SE3(twc.R, s_center + s_corr * (twc.t - s_center)).inverse()
+                )
+                if k.velocity is not None:
+                    k.velocity = k.velocity * s_corr
+            if self.tracker is not None:
+                t_corr = SE3(t=(1.0 - s_corr) * s_center)
+                self.tracker.update_frame_imu(
+                    t_corr, float(s_corr), kf.imu_bias, kf
+                )
+            m.info_changed()
 
     def _search_in_neighbors(self, kf):
         """Fuse duplicates with 1st/2nd-order neighbors (LocalMapping.cc:714)."""

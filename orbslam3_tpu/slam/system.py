@@ -363,6 +363,24 @@ class System:
 
         save_kitti(path, self.frame_trajectory())
 
+    def save_trajectory_euroc(self, path: str):
+        from orbslam3_tpu.utils.trajectory import save_euroc
+
+        save_euroc(path, self.frame_trajectory())
+
+    def get_tracked_keypoints_un(self):
+        """Undistorted keypoints of tracked map points
+        (System::GetTrackedKeyPointsUn role, include/System.h:178)."""
+        f = self.tracker.current
+        if f is None:
+            return np.zeros((0, 2))
+        idx = [
+            i
+            for i, (mp, o) in enumerate(zip(f.map_points, f.outlier))
+            if mp is not None and not o
+        ]
+        return f.kps_un[idx] if idx else np.zeros((0, 2))
+
     def save_keyframe_trajectory_tum(self, path: str):
         from orbslam3_tpu.utils.trajectory import save_tum
 

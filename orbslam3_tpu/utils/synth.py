@@ -220,6 +220,7 @@ def trajectory_pose(k: float, step: float = 0.05) -> SE3:
 def imu_samples_between(
     k0: float, k1: float, fps: float = 20.0, imu_rate: float = 200.0,
     step: float = 0.05, bias_acc=None, bias_gyro=None, Tbc: SE3 | None = None,
+    pose_fn=None,
 ):
     """Exact-ish IMU (specific force + body rates) between frames k0 and k1
     of the analytic trajectory, by central finite differences.
@@ -231,6 +232,7 @@ def imu_samples_between(
     included, optional constant biases added."""
     g = np.array([0.0, 0.0, -9.81])
     Tcb = Tbc.inverse() if Tbc is not None else None
+    pf = pose_fn if pose_fn is not None else (lambda k: trajectory_pose(k, step))
     n = max(1, int(round((k1 - k0) * imu_rate / fps)))
     dt = (k1 - k0) / fps / n
     dk = (k1 - k0) / n
@@ -238,9 +240,9 @@ def imu_samples_between(
     accs, gyros, dts = [], [], []
     for i in range(n):
         km = k0 + (i + 0.5) * dk  # midpoint of the sample interval
-        T = trajectory_pose(km, step)
-        Tp = trajectory_pose(km + eps_k, step)
-        Tm = trajectory_pose(km - eps_k, step)
+        T = pf(km)
+        Tp = pf(km + eps_k)
+        Tm = pf(km - eps_k)
         if Tcb is not None:
             T, Tp, Tm = T * Tcb, Tp * Tcb, Tm * Tcb
         dt_k = eps_k / fps  # seconds per eps_k frames

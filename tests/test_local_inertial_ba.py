@@ -72,15 +72,84 @@ def test_visual_jacobians_match_numeric():
         kf_idx=np.zeros(20, int), pw=pw, uv=uv, ur=ur,
         inv_sigma2=np.ones(20), camera=cam, mbf=40.0,
     )
-    res0, jac, stereo, _ = _visual_block(st, Tcb, obs)
+    res0, jac, jac_s, stereo, _ = _visual_block(st, Tcb, obs)
     eps = 1e-6
     for k in range(6):
         d = np.zeros(15)
         d[k] = eps
-        rp, _, _, _ = _visual_block([_retract(st[0], d)], Tcb, obs)
-        rm, _, _, _ = _visual_block([_retract(st[0], -d)], Tcb, obs)
+        rp, _, _, _, _ = _visual_block([_retract(st[0], d)], Tcb, obs)
+        rm, _, _, _, _ = _visual_block([_retract(st[0], -d)], Tcb, obs)
         num = (rp - rm) / (2 * eps)
         assert np.allclose(jac[:, :, k], num, atol=1e-4), k
+    # global log-scale column vs numeric
+    rp, _, _, _, _ = _visual_block(st, Tcb, obs, log_scale=eps)
+    rm, _, _, _, _ = _visual_block(st, Tcb, obs, log_scale=-eps)
+    num = (rp - rm) / (2 * eps)
+    assert np.allclose(jac_s, num, atol=1e-4)
+
+
+def test_opt_scale_recovers_mono_scale():
+    """Landmarks + initial states at a WRONG global scale; the joint
+    chain pass with opt_scale must find the correction (mono case)."""
+    rng = np.random.default_rng(4)
+    cam = Pinhole([300.0, 300.0, 320.0, 240.0])
+    Tcb = SE3()
+    n = 6
+    dt = 0.25
+
+    def pos(t):
+        return np.array([0.7 * t, 0.3 * np.sin(2 * t), 0.1 * t])
+
+    def vel(t):
+        return np.array([0.7, 0.6 * np.cos(2 * t), 0.1])
+
+    def acc(t):
+        return np.array([0.0, -1.2 * np.sin(2 * t), 0.0])
+
+    gt, preints = [], []
+    for i in range(n):
+        t = i * dt
+        gt.append(NavState(np.eye(3), pos(t), vel(t), np.zeros(3), np.zeros(3)))
+    for i in range(n - 1):
+        pre = Preintegrated(Bias(), Calib(SE3()))
+        m = 200
+        h = dt / m
+        for j in range(m):
+            t = i * dt + (j + 0.5) * h
+            pre.integrate(acc(t) - GRAVITY, np.zeros(3), h)
+        preints.append(pre)
+    pw = rng.uniform([-3, -3, 6], [6, 3, 14], (150, 3))
+    kf_idx, pws, uvs, urs = [], [], [], []
+    wrong = 0.6  # map stored at 0.6x metric
+    for i, s in enumerate(gt):
+        Twc = SE3(s.R, s.p)
+        pc = (pw - Twc.t) @ Twc.R
+        vis = pc[:, 2] > 0.5
+        uv = cam.project(pc[vis])
+        inb = (uv[:, 0] > 0) & (uv[:, 0] < 640) & (uv[:, 1] > 0) & (uv[:, 1] < 480)
+        idx = np.nonzero(vis)[0][inb]
+        kf_idx += [i] * len(idx)
+        pws += list(pw[idx] * wrong)
+        uvs += list(uv[inb] + rng.normal(0, 0.3, (inb.sum(), 2)))
+        urs += [-1.0] * len(idx)
+    obs = dict(
+        kf_idx=np.asarray(kf_idx), pw=np.asarray(pws), uv=np.asarray(uvs),
+        ur=np.asarray(urs), inv_sigma2=np.ones(len(kf_idx)), camera=cam, mbf=0.0,
+    )
+    # initial states at the wrong scale too (visually consistent)
+    init = [
+        NavState(s.R, s.p * wrong, s.v * wrong, s.bg.copy(), s.ba.copy())
+        for s in gt
+    ]
+    fixed = np.zeros(n, bool)
+    fixed[0] = True
+    out, _, s_corr, _c = optimize_inertial_window(
+        init, preints, obs, Tcb, fixed, n_iters=15, opt_scale=True
+    )
+    assert abs(s_corr * wrong - 1.0) < 0.03, s_corr
+    # positions land at (metric) ground truth for the free states
+    for s, g in zip(out[1:], gt[1:]):
+        assert np.linalg.norm(s.p - g.p * wrong * s_corr) < 0.05
 
 
 def test_window_recovers_perturbed_states():
