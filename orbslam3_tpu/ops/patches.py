@@ -41,12 +41,15 @@ def extract_patches(img: jax.Array, xy: jax.Array, half: int) -> jax.Array:
     row_oh = onehot_bf16(rows, h)                   # (K, P, H)
     col_oh = onehot_bf16(cols, w)                   # (K, P, W)
     imgb = img.astype(jnp.bfloat16)
+    # row-select output = raw pixels (<= 255, bf16-exact; one-hot dot has a
+    # single contributor so accumulation dtype is irrelevant): keeping the
+    # big (K, P, W) intermediate in bf16 halves its HBM traffic
     strips = jnp.einsum(
-        "kph,hw->kpw", row_oh, imgb, preferred_element_type=jnp.float32
+        "kph,hw->kpw", row_oh, imgb, preferred_element_type=jnp.bfloat16
     )
     return jnp.einsum(
         "kpw,kqw->kpq",
-        strips.astype(jnp.bfloat16),
+        strips,
         col_oh,
         preferred_element_type=jnp.float32,
     )
@@ -69,16 +72,30 @@ def extract_level_strips(
     """
     l, h, w = stack.shape
     img2d = stack.reshape(l * h, w).astype(jnp.bfloat16)
-    rows = level[:, None] * h + y0[:, None] + jnp.arange(nr, dtype=jnp.int32)[None, :]
-    row_oh = onehot_bf16(rows, l * h)                    # (K, nr, L*H)
-    strips = jnp.einsum(
-        "krh,hw->krw", row_oh, img2d, preferred_element_type=jnp.float32
+    # the nr window rows are CONSECUTIVE: one base-row one-hot (K, L*H)
+    # against nr shifted image views, instead of a (K, nr, L*H) one-hot
+    # whose materialization alone is ~nr x the traffic
+    base_oh = onehot_bf16(level * h + y0, l * h)         # (K, L*H)
+    img_pad = jnp.concatenate(
+        [img2d, jnp.zeros((nr, w), img2d.dtype)], axis=0
     )
+    strips = jnp.stack(
+        [
+            jnp.einsum(
+                "kh,hw->kw",
+                base_oh,
+                jax.lax.dynamic_slice_in_dim(img_pad, r, l * h, 0),
+                preferred_element_type=jnp.bfloat16,
+            )
+            for r in range(nr)
+        ],
+        axis=1,
+    )  # (K, nr, W) raw pixels, bf16-exact (single contributor per output)
     cols = x0[:, None] + jnp.arange(nc, dtype=jnp.int32)[None, :]
     col_oh = onehot_bf16(cols, w)                        # (K, nc, W)
     return jnp.einsum(
         "krw,kcw->krc",
-        strips.astype(jnp.bfloat16),
+        strips,
         col_oh,
         preferred_element_type=jnp.float32,
     )
@@ -96,11 +113,11 @@ def sample_patches(patches: jax.Array, r: jax.Array, c: jax.Array) -> jax.Array:
         "ksp,kpq->ksq",
         row_oh,
         patches.astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    )
+        preferred_element_type=jnp.bfloat16,
+    )  # selected pixels (<= 255, bf16-exact; one contributor per output)
     return jnp.einsum(
         "ksq,ksq->ks",
-        strips.astype(jnp.bfloat16),
+        strips,
         col_oh,
         preferred_element_type=jnp.float32,
     )
