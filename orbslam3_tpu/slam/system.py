@@ -37,7 +37,18 @@ class System:
         max_frames: int = 30,
         vocabulary=None,
         imu_calib=None,
+        camera2=None,
+        Tlr=None,
+        lapping1: tuple | None = None,
+        lapping2: tuple | None = None,
     ):
+        # fisheye stereo configuration (KannalaBrandt8 + lapping areas):
+        # stereo depth comes from kNN matching in the overlap + KB8
+        # triangulation instead of the rectified row matcher
+        self.camera2 = camera2
+        self.Tlr = Tlr
+        self.lapping1 = lapping1
+        self.lapping2 = lapping2
         self.camera = camera
         self.mbf = mbf
         self.orb_params = orb_params
@@ -117,6 +128,35 @@ class System:
             depth=out.depth[valid],
         )
 
+    def _extract_stereo_fisheye(self, img_l: np.ndarray, img_r: np.ndarray):
+        """Fisheye stereo front-end (Frame fisheye ctor role,
+        /root/reference/src/Frame.cc:1089-1191): per-camera extraction with
+        lapping split, kNN overlap matching, KB8 triangulation -> depths."""
+        from orbslam3_tpu.frontend.fisheye import (
+            compute_stereo_fisheye_matches,
+            extract_fisheye_pair,
+        )
+
+        fl, fr = extract_fisheye_pair(
+            img_l, img_r, self.orb_params, self.lapping1, self.lapping2
+        )
+        level_sigma2 = np.asarray(self.scale_factors, np.float64) ** 2
+        depth, _matches, _p3d = compute_stereo_fisheye_matches(
+            fl, fr, self.camera, self.camera2 or self.camera,
+            self.Tlr if self.Tlr is not None else SE3(),
+            level_sigma2,
+        )
+        n = len(fl["kps"])
+        return dict(
+            kps=fl["kps"],
+            octave=fl["octave"],
+            angle=fl["angle"],
+            response=fl["response"],
+            desc=fl["desc"],
+            u_right=np.full(n, -1.0),
+            depth=depth,
+        )
+
     def track_stereo(
         self,
         img_l: np.ndarray,
@@ -127,7 +167,10 @@ class System:
         """imu: optional (acc (N,3), gyro (N,3), dts (N,)) samples covering
         the interval since the previous frame (System::TrackStereo's vImuMeas
         role); preintegrated and attached for IMU prediction/dead-reckoning."""
-        feats = self._extract_stereo(img_l, img_r)
+        if self.lapping1 is not None:
+            feats = self._extract_stereo_fisheye(img_l, img_r)
+        else:
+            feats = self._extract_stereo(img_l, img_r)
         frame = Frame(
             kps=feats["kps"],
             octave=feats["octave"],
@@ -253,6 +296,22 @@ class System:
                 walk_gyro=st.imu_walk_gyro or 1.9e-5,
                 walk_acc=st.imu_walk_acc or 3.0e-3,
             )
+        fisheye_kwargs = {}
+        if st.camera_type == "KannalaBrandt8" and st.lapping1 is not None:
+            tlr = None
+            if st.Tlr is not None:
+                mat = np.asarray(st.Tlr, np.float64)
+                if mat.shape == (3, 4):
+                    mat = np.vstack([mat, [0.0, 0.0, 0.0, 1.0]])
+                from orbslam3_tpu.utils.lie import SE3 as _SE3
+
+                tlr = _SE3.from_matrix(mat)
+            fisheye_kwargs = dict(
+                camera2=st.make_camera(2) if st.camera2 is not None else None,
+                Tlr=tlr,
+                lapping1=st.lapping1,
+                lapping2=st.lapping2,
+            )
         sysm = cls(
             camera=st.make_camera(1),
             mbf=st.bf,
@@ -262,6 +321,7 @@ class System:
             vocabulary=voc,
             max_frames=int(st.fps),
             imu_calib=imu_calib,
+            **fisheye_kwargs,
         )
         sysm.settings = st
         sysm.tracker.depth_th = (st.bf / st.camera1[0]) * st.depth_th_factor if st.bf else 0
