@@ -151,3 +151,84 @@ def test_headless_viewer(tmp_path):
     files = os.listdir(tmp_path / "viz")
     assert sum(f.startswith("frame_") for f in files) == 3
     assert sum(f.startswith("map_") for f in files) >= 1
+
+
+TUMVI_YAML = """%YAML:1.0
+---
+File.version: "1.0"
+Camera.type: "KannalaBrandt8"
+Camera1.fx: 190.978477
+Camera1.fy: 190.973307
+Camera1.cx: 254.931706
+Camera1.cy: 256.897442
+Camera1.k1: 0.003482389402
+Camera1.k2: 0.000715034845
+Camera1.k3: -0.002053236141
+Camera1.k4: 0.000202936736
+Camera1.overlappingBegin: 0
+Camera1.overlappingEnd: 511
+Camera2.fx: 190.44236969
+Camera2.fy: 190.4344384
+Camera2.cx: 252.59949089
+Camera2.cy: 254.91723356
+Camera2.k1: 0.0034003170790
+Camera2.k2: 0.001976708358
+Camera2.k3: -0.002950517290
+Camera2.k4: 0.00067033991
+Camera2.overlappingBegin: 0
+Camera2.overlappingEnd: 511
+Camera.width: 512
+Camera.height: 512
+Camera.fps: 20
+Camera.RGB: 1
+Stereo.ThDepth: 40.0
+Stereo.T_c1_c2: !!opencv-matrix
+   rows: 4
+   cols: 4
+   dt: f
+   data: [0.999997256,0.002312067,0.000376008,0.101063,
+          -0.002317135,0.999898049,0.014089835,0.001946,
+          -0.000343393,-0.014090668,0.99990063,0.001015,
+          0.0,0.0,0.0,1.0]
+Stereo.b: 0.101
+IMU.NoiseGyro: 0.00016
+IMU.NoiseAcc: 0.0028
+IMU.GyroWalk: 0.000022
+IMU.AccWalk: 0.00086
+IMU.Frequency: 200.0
+IMU.T_b_c1: !!opencv-matrix
+   rows: 4
+   cols: 4
+   dt: f
+   data: [-0.9995250378696743,0.029615343885863205,-0.008522328211654736,0.04727988224914392,
+          0.0075019185074052044,-0.03439736061393144,-0.9993800792498829,-0.047443232143367084,
+          -0.02989013031643309,-0.998969345370175,0.03415885127385616,-0.0681999605066297,
+          0.0,0.0,0.0,1.0]
+ORBextractor.nFeatures: 1000
+ORBextractor.scaleFactor: 1.2
+ORBextractor.nLevels: 8
+ORBextractor.iniThFAST: 20
+ORBextractor.minThFAST: 7
+Viewer.KeyFrameSize: 0.05
+"""
+
+
+def test_system_from_files_fisheye_inertial(tmp_path):
+    """TUM-VI-style KB8 stereo-inertial settings wire the fisheye front-end
+    (camera2/Tlr/lapping) and the IMU calib through from_files."""
+    from orbslam3_tpu.cameras.models import KannalaBrandt8
+    from orbslam3_tpu.slam.system import System
+
+    p = tmp_path / "tumvi.yaml"
+    p.write_text(TUMVI_YAML)
+    sysm = System.from_files(None, str(p), sensor="stereo-inertial")
+    assert isinstance(sysm.camera, KannalaBrandt8)
+    assert isinstance(sysm.camera2, KannalaBrandt8)
+    assert sysm.lapping1 == (0.0, 511.0)
+    assert sysm.Tlr is not None
+    assert abs(sysm.Tlr.t[0] - 0.101063) < 1e-6
+    assert abs(sysm.mbf - 0.101 * 190.978477) < 1e-4
+    assert sysm.imu_calib is not None
+    assert abs(sysm.imu_calib.Tbc.t[0] - 0.04727988) < 1e-6
+    assert sysm.tracker.imu_calib is sysm.imu_calib
+    assert sysm.local_mapper.imu_calib is sysm.imu_calib
