@@ -237,6 +237,26 @@ class KeyFrame:
                 self.parent.children.add(child)
         if self.parent:
             self.parent.children.discard(self)
+            # relative pose to the (new) parent, stored at cull time so
+            # trajectory replay can compose through culled reference KFs
+            # (KeyFrame::mTcp, include/KeyFrame.h:392; used by
+            # System::SaveTrajectoryTUM, src/System.cc:544+)
+            self.Tcp = (self.Tcw * self.parent.Twc).normalized()
+        # splice the inertial temporal chain (KeyFrame::SetBadFlag merges the
+        # culled KF's preintegration into the next via MergePrevious and
+        # relinks mPrevKF/mNextKF) — without this every cull permanently
+        # truncates the chain and inertial BA windows shrink to the cull point
+        if self.next_kf is not None and self.prev_kf is not None:
+            if self.next_kf.imu_preint is not None and self.imu_preint is not None:
+                self.next_kf.imu_preint.merge_previous(self.imu_preint)
+            self.next_kf.prev_kf = self.prev_kf
+            self.prev_kf.next_kf = self.next_kf
+        elif self.next_kf is not None:
+            self.next_kf.prev_kf = None
+        elif self.prev_kf is not None:
+            self.prev_kf.next_kf = None
+        self.prev_kf = None
+        self.next_kf = None
         self.bad = True
         if self.map is not None:
             self.map.erase_keyframe(self)

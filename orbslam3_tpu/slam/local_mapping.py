@@ -38,6 +38,13 @@ class LocalMapping:
         self.kf_database = None
         self._idle = True
         self._accept_kfs = True
+        # pause handshake (LocalMapping::RequestStop + isStopped): the worker
+        # holds _run_lock while processing a keyframe; request_stop() blocks
+        # until the in-flight KF completes and keeps the worker parked until
+        # resume().  The reference pauses LocalMapping this way before
+        # CorrectLoop / MergeLocal so loop correction cannot race with
+        # concurrent triangulation/fusion (src/LoopClosing2.cc:106 region).
+        self._run_lock = threading.Lock()
 
     # --- public API ----------------------------------------------------
     def insert_keyframe(self, kf):
@@ -60,11 +67,31 @@ class LocalMapping:
                 kf = self.kf_queue.get(timeout=0.05)
             except queue.Empty:
                 continue
-            self._idle = False
-            self._accept_kfs = False
-            self._process(kf)
-            self._accept_kfs = True
-            self._idle = True
+            with self._run_lock:
+                self._idle = False
+                self._accept_kfs = False
+                self._process(kf)
+                self._accept_kfs = True
+                self._idle = True
+
+    def request_stop(self):
+        """Block until the worker parks between keyframes, then keep it
+        parked (RequestStop + isStopped wait).  Caller must resume()."""
+        self._run_lock.acquire()
+
+    def resume(self):
+        if self._run_lock.locked():
+            try:
+                self._run_lock.release()
+            except RuntimeError:
+                pass
+
+    def clear_queue(self):
+        while True:
+            try:
+                self.kf_queue.get_nowait()
+            except queue.Empty:
+                break
 
     def request_finish(self):
         self.finished = True

@@ -38,6 +38,9 @@ class LoopClosing:
         self.sequential = True
         self.kf_queue: queue.Queue = queue.Queue()
         self.finished = False
+        # LocalMapping handle for the pause handshake around corrections
+        # (reference member mpLocalMapper; set by System)
+        self.local_mapper = None
 
     # ------------------------------------------------------------------
     def insert_keyframe(self, kf):
@@ -64,13 +67,23 @@ class LoopClosing:
         result = self.detect_loop(kf)
         if result is not None:
             cand, s_cur_cand, matches = result
-            # loop correction / merge mutate poses the tracker reads: take
-            # the map-update lock (mMutexMapUpdate role, Tracking3.cc:135)
-            with kf.map.update_lock:
-                if cand.map is kf.map:
-                    self.correct_loop(kf, cand, s_cur_cand, matches)
-                else:
-                    self.merge_maps(kf, cand, s_cur_cand)
+            # pause LocalMapping first (reference: RequestStop + isStopped
+            # wait before CorrectLoop/MergeLocal) so loop correction cannot
+            # race with concurrent triangulation/fusion on the same map,
+            # then take the map-update lock to exclude a concurrent Track()
+            # (mMutexMapUpdate role, Tracking3.cc:135)
+            mapper = self.local_mapper
+            if mapper is not None:
+                mapper.request_stop()
+            try:
+                with kf.map.update_lock:
+                    if cand.map is kf.map:
+                        self.correct_loop(kf, cand, s_cur_cand, matches)
+                    else:
+                        self.merge_maps(kf, cand, s_cur_cand)
+            finally:
+                if mapper is not None:
+                    mapper.resume()
 
     # ------------------------------------------------------------------
     def detect_loop(self, kf, min_matches: int = 20):
@@ -145,15 +158,17 @@ class LoopClosing:
             s_rel = s_k_old * s_cur_w_old.inverse()
             corrected[k] = (s_rel * s_cur_w_corr).normalized()
 
-        # transport map points of the group (P' = S_corr^-1 (S_old (P)))
-        moved = set()
+        # transport map points of the group (P' = S_corr^-1 (S_old (P))),
+        # remembering which group KF moved each point (mnCorrectedReference
+        # role) so the post-optimization pass can re-anchor to the same KF
+        moved: dict = {}
         for k in group:
             s_old = non_corrected[k]
             s_new = corrected[k]
             for _, mp in k.get_map_point_indices():
                 if mp.id in moved:
                     continue
-                moved.add(mp.id)
+                moved[mp.id] = k
                 mp.position = s_new.inverse().apply(
                     s_old.apply(mp.position[None])
                 )[0]
@@ -214,7 +229,10 @@ class LoopClosing:
                 k.corrected_sim3 = corrected[k]
         fixed = {loop_kf}
         inertial = getattr(m, "imu_initialized", False)
-        pre_opt = {k: Sim3.from_se3(k.Tcw) for k in kfs}
+        # pre-optimization poses (the reference's vScw, Optimizer3.cc:48
+        # region): group KFs use the CORRECTED Sim3 (keeps the mono scale
+        # factor that to_se3 drops), others their current stale pose
+        pre_opt = {k: corrected.get(k, Sim3.from_se3(k.Tcw)) for k in kfs}
         if inertial:
             # gravity-aligned map: 4-DoF graph (OptimizeEssentialGraph4DoF
             # role) keeps roll/pitch and scale exact
@@ -228,24 +246,41 @@ class LoopClosing:
                 kfs, edges, fixed, fix_scale=self.fix_scale
             )
         if inertial:
-            # transport world-frame velocities by each KF's own correction
+            # transport world-frame velocities by each KF's TOTAL correction
+            # (original pre-loop pose -> optimized pose).  Group KFs' poses
+            # were already moved during Sim3 propagation, so the original
+            # must come from non_corrected, not from the post-propagation
+            # snapshot (the reference rotates mVw by Rcor during
+            # CorrectedSim3 propagation, LoopClosing2.cc:106 region).
             for k in kfs:
                 v = getattr(k, "velocity", None)
                 if v is None:
                     continue
-                w_corr = result[k].inverse() * pre_opt[k]
+                w_corr = result[k].inverse() * non_corrected.get(k, pre_opt[k])
                 k.velocity = w_corr.s * (w_corr.R @ v)
 
-        # transport remaining map points by their reference keyframe's move
+        # post-pass: EVERY map point moves by its anchor keyframe's
+        # (pre-optimization -> optimized) correction
+        # (/root/reference/src/Optimizer3.cc:312-323).  Group-transported
+        # points re-anchor to the KF that moved them (mnCorrectedReference);
+        # everything else anchors to its reference keyframe, so points far
+        # outside the covisible group still follow the essential graph even
+        # when the optional global BA is skipped.
         for mp in m.get_all_map_points():
-            if mp.bad or mp.id in moved:
+            if mp.bad:
                 continue
-            ref = mp.ref_kf
-            if ref is None or ref.bad or ref not in result:
+            anchor = moved.get(mp.id)
+            if anchor is None:
+                anchor = mp.ref_kf
+            if anchor is None or anchor not in result:
                 continue
-            s_old = non_corrected.get(ref, None)
-            if s_old is None:
-                continue  # only group points had pre-correction poses cached
+            s_pre = pre_opt.get(anchor)
+            if s_pre is None:
+                continue
+            mp.position = result[anchor].inverse().apply(
+                s_pre.apply(mp.position[None])
+            )[0]
+            mp.update_normal_and_depth()
         for k in kfs:
             if hasattr(k, "corrected_sim3"):
                 del k.corrected_sim3

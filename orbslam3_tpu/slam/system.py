@@ -41,7 +41,15 @@ class System:
         Tlr=None,
         lapping1: tuple | None = None,
         lapping2: tuple | None = None,
+        rectifier=None,
+        resize_to: tuple | None = None,
     ):
+        # input preprocessing (reference System::TrackStereo remap/resize,
+        # src/System.cc:253-263): rectifier remaps raw unrectified stereo
+        # pairs into the common pinhole frame before extraction; resize_to
+        # downscales inputs when Camera.newWidth/newHeight ask for it
+        self.rectifier = rectifier
+        self.resize_to = resize_to
         # fisheye stereo configuration (KannalaBrandt8 + lapping areas):
         # stereo depth comes from kNN matching in the overlap + KB8
         # triangulation instead of the rectified row matcher
@@ -79,6 +87,7 @@ class System:
                 imu_calib=imu_calib,
             )
             self.local_mapper.loop_closer = self.loop_closer
+            self.loop_closer.local_mapper = self.local_mapper
         self.tracker = Tracking(
             self.atlas,
             self.local_mapper,
@@ -107,6 +116,34 @@ class System:
         self.scale_factors = orb_params.scale_factors
 
     # ------------------------------------------------------------------
+    def _preprocess_stereo(self, img_l: np.ndarray, img_r: np.ndarray):
+        """Rectify (unrectified pinhole stereo) or resize raw inputs before
+        extraction — System::TrackStereo, src/System.cc:253-263."""
+        if self.rectifier is not None:
+            return self.rectifier.rectify(img_l, img_r)
+        if self.resize_to is not None:
+            img_l = self._resize(img_l, self.resize_to)
+            img_r = self._resize(img_r, self.resize_to)
+        return img_l, img_r
+
+    @staticmethod
+    def _resize(img: np.ndarray, size: tuple) -> np.ndarray:
+        try:
+            import cv2
+
+            return cv2.resize(img, size, interpolation=cv2.INTER_LINEAR)
+        except ImportError:
+            from orbslam3_tpu.frontend.rectify import remap_bilinear
+
+            w, h = size
+            sh, sw = img.shape[:2]
+            mapx = ((np.arange(w, dtype=np.float32) + 0.5) * sw / w - 0.5)[None, :]
+            mapy = ((np.arange(h, dtype=np.float32) + 0.5) * sh / h - 0.5)[:, None]
+            return remap_bilinear(
+                img, np.broadcast_to(mapx, (h, w)).copy(),
+                np.broadcast_to(mapy, (h, w)).copy(),
+            )
+
     def _extract_stereo(self, img_l: np.ndarray, img_r: np.ndarray):
         """Device front-end -> compacted numpy feature arrays."""
         from orbslam3_tpu.frontend import stereo_frame as sf
@@ -167,6 +204,7 @@ class System:
         """imu: optional (acc (N,3), gyro (N,3), dts (N,)) samples covering
         the interval since the previous frame (System::TrackStereo's vImuMeas
         role); preintegrated and attached for IMU prediction/dead-reckoning."""
+        img_l, img_r = self._preprocess_stereo(img_l, img_r)
         if self.lapping1 is not None:
             feats = self._extract_stereo_fisheye(img_l, img_r)
         else:
@@ -213,6 +251,8 @@ class System:
 
         from orbslam3_tpu.ops.extractor import extract_features_jit
 
+        if self.resize_to is not None:
+            img = self._resize(img, self.resize_to)
         out = extract_features_jit(img, self.orb_params)
         out = jax.tree.map(np.asarray, out)
         v = out.valid
@@ -312,19 +352,47 @@ class System:
                 lapping1=st.lapping1,
                 lapping2=st.lapping2,
             )
+        # input preprocessing: unrectified pinhole stereo -> precompute
+        # rectification maps; the rectified pinhole replaces the raw
+        # calibration and bf comes from P2 (Settings.cc:467-502).  Plain
+        # resize scales the calibration instead (Settings.cc:346-375).
+        rectifier = None
+        resize_to = None
+        camera = st.make_camera(1)
+        mbf = st.bf
+        if st.needs_rectify and st.dist1 is not None:
+            rectifier = st.make_rectifier()
+            camera = rectifier.camera
+            mbf = rectifier.bf
+            if imu_calib is not None:
+                # camera-1 frame rotated by R1: Tbc follows
+                # (Settings.cc:496-501  Tbc_ = Tbc_ * T_r1_u1.inverse())
+                from orbslam3_tpu.utils.lie import SE3 as _SE3
+
+                t_r1_u1 = _SE3(rectifier.R1, np.zeros(3))
+                imu_calib.Tbc = imu_calib.Tbc * t_r1_u1.inverse()
+        elif st.needs_resize:
+            resize_to = (st.new_width, st.new_height)
+            from orbslam3_tpu.cameras.models import Pinhole
+
+            if st.camera_type in ("PinHole", "Rectified"):
+                camera = Pinhole(st.scaled_camera_params()[:4], st.dist1)
+            mbf = st.bf * (st.new_width / st.width)
         sysm = cls(
-            camera=st.make_camera(1),
-            mbf=st.bf,
+            camera=camera,
+            mbf=mbf,
             orb_params=st.make_orb_params(),
             sensor=sensor,
             sequential=sequential,
             vocabulary=voc,
             max_frames=int(st.fps),
             imu_calib=imu_calib,
+            rectifier=rectifier,
+            resize_to=resize_to,
             **fisheye_kwargs,
         )
         sysm.settings = st
-        sysm.tracker.depth_th = (st.bf / st.camera1[0]) * st.depth_th_factor if st.bf else 0
+        sysm.tracker.depth_th = (mbf / camera.fx) * st.depth_th_factor if mbf else 0
         if st.load_atlas:
             sysm.load_atlas(st.load_atlas)
         if use_viewer:
@@ -344,16 +412,30 @@ class System:
             self.tracker._need_new_keyframe = self.tracker._need_new_keyframe_saved
 
     def reset(self):
-        """Full reset: fresh Atlas (System::Reset role)."""
-        self.atlas = Atlas()
-        self.atlas.add_camera(self.camera)
-        self.local_mapper.atlas = self.atlas
-        self.tracker.atlas = self.atlas
-        self.tracker.state = __import__(
-            "orbslam3_tpu.slam.tracking", fromlist=["TrackingState"]
-        ).TrackingState.NO_IMAGES_YET
-        if self.kf_database is not None:
-            self.kf_database.clear()
+        """Full reset: fresh Atlas (System::Reset role).  In threaded mode
+        the workers are drained first so no in-flight keyframe mutates the
+        old Atlas while it is being swapped out."""
+        from orbslam3_tpu.slam.tracking import TrackingState
+
+        self.local_mapper.request_stop()
+        try:
+            self.atlas = Atlas()
+            self.atlas.add_camera(self.camera)
+            self.local_mapper.atlas = self.atlas
+            self.local_mapper.clear_queue()
+            self.tracker.atlas = self.atlas
+            self.tracker.state = TrackingState.NO_IMAGES_YET
+            self.tracker.last_kf = None
+            self.tracker.ref_kf = None
+            self.tracker.velocity = None
+            self.tracker.last_frame = None
+            self.tracker.trajectory = []
+            self.tracker._imu_meas_since_kf = []
+            self.tracker._ini_frame = None
+            if self.kf_database is not None:
+                self.kf_database.clear()
+        finally:
+            self.local_mapper.resume()
 
     def reset_active_map(self):
         self.tracker._handle_lost()
@@ -404,12 +486,16 @@ class System:
         for fid, ts, tcr, ref, lost in self.tracker.trajectory:
             if lost or ref is None:
                 continue
+            # walk up through culled reference KFs composing the relative
+            # poses stored at cull time (mTcp), exactly as the reference's
+            # SaveTrajectoryTUM: Trw = Trw * mTcp ... * parent.Tcw
+            # (/root/reference/src/System.cc:544+)
             kf = ref
             trw = SE3()
             while kf.bad and kf.parent is not None:
-                trw = kf.Tcp * trw if hasattr(kf, "Tcp") else trw
+                trw = trw * getattr(kf, "Tcp", SE3())
                 kf = kf.parent
-            tcw = tcr * kf.Tcw
+            tcw = tcr * trw * kf.Tcw
             out.append((ts, tcw.inverse()))
         return out
 

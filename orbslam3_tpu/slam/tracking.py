@@ -207,6 +207,14 @@ class Tracking:
         self.local_mps = m.get_all_map_points()
         self.state = TrackingState.OK
 
+    def _set_ini_frame(self, frame: Frame | None):
+        """(Re)seed the monocular-initialization reference frame.  The
+        kf1->kf2 preintegration attached at init must start AT the reference
+        frame — keep only IMU samples that arrived with frames after it (the
+        reference rebuilds mpImuPreintegratedFromLastKF at init)."""
+        self._ini_frame = frame
+        self._imu_meas_since_kf = []
+
     def _monocular_initialization(self, frame: Frame):
         """Two-view monocular init (Tracking::MonocularInitialization):
         match against a reference frame, reconstruct with F/H model
@@ -215,7 +223,7 @@ class Tracking:
         from orbslam3_tpu.optim.two_view import TwoViewReconstruction
 
         if getattr(self, "_ini_frame", None) is None or frame.n <= 100:
-            self._ini_frame = frame if frame.n > 100 else None
+            self._set_ini_frame(frame if frame.n > 100 else None)
             self.state = TrackingState.NOT_INITIALIZED
             return
         ini = self._ini_frame
@@ -225,7 +233,7 @@ class Tracking:
         # for initialization (mpIniORBextractor, nFeatures*5); at our 1x
         # budget the equivalent gate is ~60 level-0 matches
         if len(matched) < 60:
-            self._ini_frame = frame if frame.n > 100 else None
+            self._set_ini_frame(frame if frame.n > 100 else None)
             return
         tvr = TwoViewReconstruction(frame.camera)
         ok, T21, pts, good = tvr.reconstruct(
@@ -742,3 +750,12 @@ class Tracking:
         self.state = TrackingState.NOT_INITIALIZED
         self.velocity = None
         self.ref_kf = None
+        # The inertial temporal chain must not cross the map boundary: the
+        # reference resets mpImuPreintegratedFromLastKF / mnLastKeyFrameId on
+        # CreateMapInAtlas (Tracking3.cc:911 region).  Without this, the new
+        # map's first KF would get prev_kf in the OLD map plus a
+        # preintegration spanning the whole lost gap, corrupting VI init and
+        # inertial BA of the fresh map.
+        self.last_kf = None
+        self._imu_meas_since_kf = []
+        self._ini_frame = None

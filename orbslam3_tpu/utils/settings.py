@@ -87,6 +87,65 @@ class Settings:
             return Pinhole(params[:4], dist)
         return KannalaBrandt8(params[:8])
 
+    # --- rectification / resize (Settings.h:157 precomputeRectificationMaps,
+    # Settings.cc:346-375 resize scaling) ---------------------------------
+    @property
+    def needs_rectify(self) -> bool:
+        """Unrectified pinhole stereo: the row-constrained matcher needs
+        rectified input, so maps must be precomputed (reference sets
+        bNeedToRectify_ for PinHole stereo at Settings.cc:199,274)."""
+        return (
+            "stereo" in self.sensor
+            and self.camera_type == "PinHole"
+            and self.camera2 is not None
+            and self.Tlr is not None
+        )
+
+    @property
+    def needs_resize(self) -> bool:
+        return (
+            self.new_width > 0
+            and self.new_height > 0
+            and (self.new_width != self.width or self.new_height != self.height)
+        )
+
+    @property
+    def new_size(self) -> tuple[int, int]:
+        if self.needs_resize:
+            return (self.new_width, self.new_height)
+        return (self.width, self.height)
+
+    def make_rectifier(self):
+        """Precompute the stereo rectification state; folds the optional
+        newWidth/newHeight resize into the maps (reference builds them at
+        newImSize_, Settings.cc:484-491)."""
+        from orbslam3_tpu.frontend.rectify import StereoRectifier
+        from orbslam3_tpu.utils.lie import SE3
+
+        mat = np.asarray(self.Tlr, np.float64)
+        if mat.shape == (3, 4):
+            mat = np.vstack([mat, [0.0, 0.0, 0.0, 1.0]])
+        tlr = SE3.from_matrix(mat)
+        return StereoRectifier(
+            self.make_camera(1),
+            self.make_camera(2),
+            tlr,
+            (self.width, self.height),
+            new_size=self.new_size if self.needs_resize else None,
+        )
+
+    def scaled_camera_params(self):
+        """Calibration scaled for the newWidth/newHeight resize in the
+        NON-rectified path (Settings.cc:352-374 scaleRow/ColFactor)."""
+        p = np.array(self.camera1, np.float64)
+        sx = self.new_width / self.width
+        sy = self.new_height / self.height
+        p[0] *= sx  # fx
+        p[2] *= sx  # cx
+        p[1] *= sy  # fy
+        p[3] *= sy  # cy
+        return p
+
     def make_orb_params(self):
         from orbslam3_tpu.oracle.orb_cpu import PyramidParams
 

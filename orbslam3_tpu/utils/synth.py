@@ -118,12 +118,20 @@ class PlaneWorld:
 
 
 def render_world(planes: list, camera, Tcw: SE3, h: int, w: int) -> np.ndarray:
-    """Nearest-hit rendering of multiple textured planes."""
+    """Nearest-hit rendering of multiple textured planes.
+
+    Renders through the camera's FULL model: a Pinhole with distortion
+    coefficients produces a distorted (unrectified) image — pixels are
+    undistorted to rays before plane intersection — so rectification
+    pipelines can be tested end-to-end without datasets."""
     Twc = Tcw.inverse()
     c = Twc.t
     ys, xs = np.mgrid[0:h, 0:w]
     pix = np.stack([xs.ravel(), ys.ravel()], axis=1).astype(np.float64)
-    rays_c = camera.unproject(pix)
+    if getattr(camera, "dist", None) is not None:
+        rays_c = camera.unproject(camera.undistort_points(pix))
+    else:
+        rays_c = camera.unproject(pix)
     rays_w = rays_c @ Twc.R.T
     best_t = np.full(len(rays_w), np.inf)
     best_v = np.full(len(rays_w), 127.0, np.float32)
@@ -144,9 +152,17 @@ def stereo_sequence(
     seed: int = 0,
     step: float = 0.05,
     pose_fn=None,
+    camera_r=None,
+    T_rl: SE3 | None = None,
 ):
     """Yields (img_left, img_right, Tcw_left ground truth) along a smooth
-    lateral+forward trajectory in front of a tilted textured plane."""
+    lateral+forward trajectory in front of a tilted textured plane.
+
+    camera_r / T_rl configure an UNRECTIFIED rig: a distinct right camera
+    (own intrinsics/distortion) and a full SE3 left-cam-point -> right-cam
+    transform (x_r = T_rl x_l) with rotation — the raw EuRoC-style geometry
+    the rectification pipeline must undo.  Defaults keep the legacy ideal
+    rectified rig (identity rotation, x-baseline)."""
     # Multi-plane "room": a back wall, a tilted floor, and a side wall at
     # different depths/orientations.  A single plane is pose-degenerate
     # (plane-induced homography ambiguity leaves flat cost directions);
@@ -191,13 +207,15 @@ def stereo_sequence(
                     scale=0.0014,
                 )
             )
-    T_rl = SE3(np.eye(3), np.array([-baseline, 0.0, 0.0]))  # left point -> right cam
+    if T_rl is None:
+        T_rl = SE3(np.eye(3), np.array([-baseline, 0.0, 0.0]))  # left point -> right cam
+    cam_r = camera_r if camera_r is not None else camera
     frames = []
     for k in range(n_frames):
         Twc = pose_fn(k) if pose_fn is not None else trajectory_pose(k, step)
         Tcw = Twc.inverse()
         img_l = render_world(walls, camera, Tcw, h, w)
-        img_r = render_world(walls, camera, T_rl * Tcw, h, w)
+        img_r = render_world(walls, cam_r, T_rl * Tcw, h, w)
         frames.append((img_l, img_r, Tcw))
     return frames
 
