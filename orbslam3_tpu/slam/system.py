@@ -25,6 +25,10 @@ from orbslam3_tpu.utils.lie import SE3
 class System:
     STEREO = "stereo"
     MONOCULAR = "mono"
+    RGBD = "rgbd"
+    IMU_STEREO = "stereo_inertial"
+    IMU_MONOCULAR = "mono_inertial"
+    IMU_RGBD = "rgbd_inertial"
 
     def __init__(
         self,
@@ -231,6 +235,81 @@ class System:
             frame.imu_preint = self._preintegrate(imu)
         return self.tracker.track_frame(frame)
 
+    def track_rgbd(
+        self,
+        img: np.ndarray,
+        depth_map: np.ndarray,
+        timestamp: float,
+        imu: tuple | None = None,
+    ):
+        """RGB-D per-frame entry (System::TrackRGBD,
+        /root/reference/include/System.h:115; Tracking::GrabImageRGBD +
+        Frame::ComputeStereoFromRGBD): mono device extraction, per-keypoint
+        depth sampled from the depth image, synthetic right-view coordinate
+        u_right = u_undistorted - mbf/z.  Everything downstream reuses the
+        stereo-depth map-point machinery unchanged.  `imu` enables the
+        IMU_RGBD configuration.  depth_map: raw sensor units scaled by
+        Settings' DepthMapFactor (self.depth_map_factor), or meters if 1.0."""
+        import jax
+
+        from orbslam3_tpu.ops.extractor import extract_features_jit
+
+        if self.resize_to is not None:
+            img = self._resize(img, self.resize_to)
+            # depth is resampled nearest (interpolating across depth
+            # discontinuities invents structure)
+            h, w = depth_map.shape[:2]
+            xi = np.clip(
+                (np.arange(self.resize_to[0]) * w) // self.resize_to[0], 0, w - 1
+            )
+            yi = np.clip(
+                (np.arange(self.resize_to[1]) * h) // self.resize_to[1], 0, h - 1
+            )
+            depth_map = depth_map[np.ix_(yi, xi)]
+        out = extract_features_jit(img, self.orb_params)
+        out = jax.tree.map(np.asarray, out)
+        v = out.valid
+        kps = out.xy[v]
+        factor = getattr(self, "depth_map_factor", 1.0)
+        dm = np.asarray(depth_map, np.float64)
+        if factor != 1.0:
+            dm = dm / factor
+        h, w = dm.shape[:2]
+        ui = np.clip(np.round(kps[:, 0]).astype(np.int64), 0, w - 1)
+        vi = np.clip(np.round(kps[:, 1]).astype(np.int64), 0, h - 1)
+        z = dm[vi, ui]
+        kps_un = (
+            self.camera.undistort_points(kps)
+            if hasattr(self.camera, "undistort_points")
+            else kps
+        )
+        valid_z = z > 0
+        u_right = np.where(
+            valid_z, kps_un[:, 0] - self.mbf / np.maximum(z, 1e-9), -1.0
+        )
+        depth = np.where(valid_z, z, -1.0)
+        frame = Frame(
+            kps=kps,
+            octave=out.octave[v],
+            angle=out.angle[v],
+            response=out.response[v],
+            desc=out.desc[v],
+            camera=self.camera,
+            scale_factors=self.scale_factors,
+            timestamp=timestamp,
+            u_right=u_right,
+            depth=depth,
+            mbf=self.mbf,
+        )
+        frame.set_image_bounds(0, 0, img.shape[1], img.shape[0])
+        if self.vocabulary is not None:
+            frame.bow_vec, frame.feat_vec = self.vocabulary.transform(frame.desc)
+        else:
+            frame.feat_vec = None
+        if imu is not None:
+            frame.imu_preint = self._preintegrate(imu)
+        return self.tracker.track_frame(frame)
+
     def _preintegrate(self, imu: tuple):
         """Per-frame preintegration with the tracker's current bias estimate
         (Tracking::PreintegrateIMU role)."""
@@ -392,6 +471,7 @@ class System:
             **fisheye_kwargs,
         )
         sysm.settings = st
+        sysm.depth_map_factor = st.depth_map_factor
         sysm.tracker.depth_th = (mbf / camera.fx) * st.depth_th_factor if mbf else 0
         if st.load_atlas:
             sysm.load_atlas(st.load_atlas)

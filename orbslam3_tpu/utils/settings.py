@@ -59,6 +59,7 @@ class Settings:
     rgb: bool = True
     bf: float = 0.0                        # stereo baseline * fx
     depth_th_factor: float = 35.0          # ThDepth
+    depth_map_factor: float = 1.0          # RGBD.DepthMapFactor (units per meter)
     # IMU
     imu_freq: float = 0.0
     imu_noise_gyro: float = 0.0
@@ -219,6 +220,8 @@ def load_settings(path: str, sensor: str = "stereo") -> Settings:
     else:
         s.bf = float(get("Camera.bf", default=0.0))
     s.depth_th_factor = float(get("Stereo.ThDepth", "ThDepth", default=35.0))
+    dmf = float(get("RGBD.DepthMapFactor", "DepthMapFactor", default=1.0))
+    s.depth_map_factor = dmf if abs(dmf) > 1e-5 else 1.0
 
     s.imu_freq = float(get("IMU.Frequency", default=0.0))
     sf = np.sqrt(s.imu_freq) if s.imu_freq > 0 else 1.0

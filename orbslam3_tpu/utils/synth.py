@@ -117,8 +117,12 @@ class PlaneWorld:
         return render_world([self], camera, Tcw, h, w)
 
 
-def render_world(planes: list, camera, Tcw: SE3, h: int, w: int) -> np.ndarray:
+def render_world(
+    planes: list, camera, Tcw: SE3, h: int, w: int, return_depth: bool = False
+):
     """Nearest-hit rendering of multiple textured planes.
+    With return_depth, also returns the exact per-pixel camera z-depth map
+    (0 where no plane is hit) — ground truth for the RGB-D configuration.
 
     Renders through the camera's FULL model: a Pinhole with distortion
     coefficients produces a distorted (unrectified) image — pixels are
@@ -140,39 +144,24 @@ def render_world(planes: list, camera, Tcw: SE3, h: int, w: int) -> np.ndarray:
         take = ok & (t < best_t)
         best_t = np.where(take, t, best_t)
         best_v = np.where(take, v, best_v)
-    return np.clip(best_v.reshape(h, w), 0, 255).astype(np.uint8)
+    img = np.clip(best_v.reshape(h, w), 0, 255).astype(np.uint8)
+    if return_depth:
+        # rays are unprojected at z=1, so the hit parameter IS camera z-depth
+        depth = np.where(np.isfinite(best_t), best_t, 0.0).reshape(h, w)
+        return img, depth
+    return img
 
 
-def stereo_sequence(
-    n_frames: int,
-    camera,
-    baseline: float,
-    h: int,
-    w: int,
-    seed: int = 0,
-    step: float = 0.05,
-    pose_fn=None,
-    camera_r=None,
-    T_rl: SE3 | None = None,
-):
-    """Yields (img_left, img_right, Tcw_left ground truth) along a smooth
-    lateral+forward trajectory in front of a tilted textured plane.
+def make_world(seed: int = 0) -> list:
+    """Multi-plane "room": a back wall, tilted side walls, near posters.
 
-    camera_r / T_rl configure an UNRECTIFIED rig: a distinct right camera
-    (own intrinsics/distortion) and a full SE3 left-cam-point -> right-cam
-    transform (x_r = T_rl x_l) with rotation — the raw EuRoC-style geometry
-    the rectification pipeline must undo.  Defaults keep the legacy ideal
-    rectified rig (identity rotation, x-baseline)."""
-    # Multi-plane "room": a back wall, a tilted floor, and a side wall at
-    # different depths/orientations.  A single plane is pose-degenerate
-    # (plane-induced homography ambiguity leaves flat cost directions);
-    # three non-parallel planes fully constrain the pose.
-    # Depth diversity is essential: with all structure at one depth z0, a
-    # yaw-compensated lateral translation (theta = tx/z0) moves every
-    # projection by <1 px per several cm — an unobservable soft mode that
-    # random-walks until tracking collapses (stereo disparity cannot see it
-    # either).  Near posters + mid walls + a far back wall spread 1/z by
-    # ~10x, stiffening the mode.
+    A single plane is pose-degenerate (plane-induced homography ambiguity
+    leaves flat cost directions); three non-parallel planes fully constrain
+    the pose.  Depth diversity is essential: with all structure at one depth
+    z0, a yaw-compensated lateral translation (theta = tx/z0) moves every
+    projection by <1 px per several cm — an unobservable soft mode that
+    random-walks until tracking collapses.  Near posters + mid walls + a far
+    back wall spread 1/z by ~10x, stiffening the mode."""
     walls = [
         PlaneWorld(  # far back wall
             make_texture(2048, seed),
@@ -207,6 +196,58 @@ def stereo_sequence(
                     scale=0.0014,
                 )
             )
+    return walls
+
+
+def rgbd_sequence(
+    n_frames: int,
+    camera,
+    h: int,
+    w: int,
+    seed: int = 0,
+    step: float = 0.05,
+    pose_fn=None,
+    depth_noise: float = 0.0,
+    depth_factor: float = 1.0,
+):
+    """Yields (img, depth_map, Tcw ground truth): the RGB-D analog of
+    stereo_sequence.  depth_map is float meters * depth_factor (pass
+    depth_factor=5000 and cast uint16 downstream to emulate a TUM-style
+    sensor), with optional multiplicative noise."""
+    walls = make_world(seed)
+    rng = np.random.default_rng(seed + 999)
+    frames = []
+    for k in range(n_frames):
+        Twc = pose_fn(k) if pose_fn is not None else trajectory_pose(k, step)
+        Tcw = Twc.inverse()
+        img, depth = render_world(walls, camera, Tcw, h, w, return_depth=True)
+        if depth_noise > 0:
+            depth = depth * (1 + rng.normal(0, depth_noise, depth.shape))
+        frames.append((img, depth * depth_factor, Tcw))
+    return frames
+
+
+def stereo_sequence(
+    n_frames: int,
+    camera,
+    baseline: float,
+    h: int,
+    w: int,
+    seed: int = 0,
+    step: float = 0.05,
+    pose_fn=None,
+    camera_r=None,
+    T_rl: SE3 | None = None,
+):
+    """Yields (img_left, img_right, Tcw_left ground truth) along a smooth
+    lateral+forward trajectory in front of a tilted textured plane.
+
+    camera_r / T_rl configure an UNRECTIFIED rig: a distinct right camera
+    (own intrinsics/distortion) and a full SE3 left-cam-point -> right-cam
+    transform (x_r = T_rl x_l) with rotation — the raw EuRoC-style geometry
+    the rectification pipeline must undo.  Defaults keep the legacy ideal
+    rectified rig (identity rotation, x-baseline)."""
+    walls = make_world(seed)
     if T_rl is None:
         T_rl = SE3(np.eye(3), np.array([-baseline, 0.0, 0.0]))  # left point -> right cam
     cam_r = camera_r if camera_r is not None else camera

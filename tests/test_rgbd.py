@@ -1,0 +1,81 @@
+"""End-to-end RGB-D SLAM on a synthetic sequence with exact ground truth.
+
+Covers System::TrackRGBD (/root/reference/include/System.h:115) +
+Frame::ComputeStereoFromRGBD: per-keypoint depth from a depth image feeding
+the same stereo-depth map-point machinery as the stereo configuration.
+"""
+
+import numpy as np
+import pytest
+
+from orbslam3_tpu.cameras.models import Pinhole
+from orbslam3_tpu.oracle.orb_cpu import PyramidParams
+from orbslam3_tpu.slam.system import System
+from orbslam3_tpu.slam.tracking import TrackingState
+from orbslam3_tpu.utils.synth import ate_rmse, rgbd_sequence
+
+FX = 350.0
+H, W = 384, 512
+VIRTUAL_BF = FX * 0.08  # synthetic baseline*f for u_right encoding
+
+
+@pytest.fixture(scope="module")
+def rgbd_run():
+    camera = Pinhole([FX, FX, W / 2, H / 2])
+    frames = rgbd_sequence(25, camera, H, W, seed=2, depth_noise=0.002)
+    sysm = System(
+        camera,
+        VIRTUAL_BF,
+        PyramidParams(n_features=900),
+        sensor=System.RGBD,
+        sequential=True,
+        max_frames=8,
+    )
+    est, gt, states = [], [], []
+    for k, (img, depth, tcw_gt) in enumerate(frames):
+        pose = sysm.track_rgbd(img, depth, timestamp=k / 20.0)
+        states.append(sysm.get_tracking_state())
+        if pose is not None:
+            est.append(pose)
+            gt.append(tcw_gt)
+    return sysm, est, gt, states
+
+
+def test_rgbd_tracks_every_frame(rgbd_run):
+    sysm, est, gt, states = rgbd_run
+    assert len(est) == 25
+    assert all(s == TrackingState.OK for s in states)
+
+
+def test_rgbd_ate_sub_centimeter(rgbd_run):
+    sysm, est, gt, states = rgbd_run
+    rmse = ate_rmse(est, gt)
+    assert rmse < 0.01, f"ATE RMSE {rmse*100:.2f} cm"
+
+
+def test_rgbd_map_grows(rgbd_run):
+    sysm, est, gt, states = rgbd_run
+    stats = sysm.map_stats()
+    assert stats["n_keyframes"] >= 3
+    assert stats["n_map_points"] > 300
+
+
+def test_depth_map_factor_scaling():
+    """uint16 TUM-style depth (5000 units/m) matches float meters."""
+    camera = Pinhole([FX, FX, W / 2, H / 2])
+    frames = rgbd_sequence(1, camera, H, W, seed=2)
+    img, depth_m, _ = frames[0]
+    depth_u16 = np.clip(depth_m * 5000.0, 0, 65535).astype(np.uint16)
+
+    s1 = System(camera, VIRTUAL_BF, PyramidParams(n_features=500),
+                sensor=System.RGBD, sequential=True)
+    s2 = System(camera, VIRTUAL_BF, PyramidParams(n_features=500),
+                sensor=System.RGBD, sequential=True)
+    s2.depth_map_factor = 5000.0
+    s1.track_rgbd(img, depth_m, 0.0)
+    s2.track_rgbd(img, depth_u16, 0.0)
+    f1, f2 = s1.tracker.current, s2.tracker.current
+    assert f1.n == f2.n
+    good = (f1.depth > 0) & (f2.depth > 0)
+    assert good.sum() > 200
+    np.testing.assert_allclose(f1.depth[good], f2.depth[good], atol=2e-4)
