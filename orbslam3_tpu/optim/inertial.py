@@ -99,6 +99,161 @@ def _residuals(
     return np.concatenate(out)
 
 
+@dataclass
+class ConstraintPoseImu:
+    """Marginalized prior on a 15-dof VI state (the reference's
+    ConstraintPoseImu consumed by EdgePriorPoseImu,
+    include/G2oTypes.h:732-792): linearization point + information matrix
+    produced by Optimizer::Marginalize (/root/reference/src/
+    Optimizer4.cc:625) after the previous frame's optimization."""
+
+    state: VIState
+    H: np.ndarray  # (15, 15) information in the order [pose(6), v(3), bg(3), ba(3)]
+
+    def whitener(self) -> np.ndarray:
+        h = 0.5 * (self.H + self.H.T)
+        # eigenvalue floor keeps the prior positive-semidefinite after
+        # numeric marginalization (the reference clamps negative eigs too)
+        w, v = np.linalg.eigh(h)
+        w = np.clip(w, 0.0, 1e12)
+        return (v * np.sqrt(w)) @ v.T
+
+    def residual(self, s: VIState) -> np.ndarray:
+        """15-vector error of s against the linearization point, same
+        left-increment convention as _apply_inc."""
+        d_pose = (s.Twb.inverse() * self.state.Twb).inverse().log()
+        return np.concatenate(
+            [
+                d_pose,
+                s.v - self.state.v,
+                s.bias.bg - self.state.bias.bg,
+                s.bias.ba - self.state.bias.ba,
+            ]
+        )
+
+
+def marginalize(h: np.ndarray, keep: slice, drop: slice) -> np.ndarray:
+    """Schur-complement marginalization of the `drop` block out of a joint
+    information matrix (Optimizer::Marginalize role, Optimizer4.cc:625)."""
+    h = 0.5 * (h + h.T)
+    h_kk = h[keep, keep]
+    h_kd = h[keep, drop]
+    h_dd = h[drop, drop]
+    # pseudo-inverse: dropped block can be rank-deficient (e.g. biases
+    # unobserved during a visual dropout)
+    h_dd_inv = np.linalg.pinv(h_dd, rcond=1e-12)
+    return h_kk - h_kd @ h_dd_inv @ h_kd.T
+
+
+def pose_inertial_optimization_prior(
+    cur: VIState,
+    prev: VIState,
+    pre: Preintegrated,
+    obs_pw: np.ndarray,
+    obs_uv: np.ndarray,
+    obs_ur: np.ndarray,
+    inv_sigma2: np.ndarray,
+    camera,
+    mbf: float = 0.0,
+    Tcb: SE3 | None = None,
+    prior: ConstraintPoseImu | None = None,
+    prev_fixed: bool = False,
+    n_iters: int = 8,
+    sigma_floor: tuple = (1e-4, 1e-3, 1e-4),
+) -> tuple[VIState, VIState, ConstraintPoseImu]:
+    """Frame-to-frame VI optimization with marginalized-prior carry-over.
+
+    Role-parity with PoseInertialOptimizationLastKeyFrame (prev_fixed=True:
+    previous state held constant, /root/reference/src/Optimizer6.cc:48) and
+    PoseInertialOptimizationLastFrame (prev free, bound by the
+    EdgePriorPoseImu prior from the previous optimization,
+    Optimizer6.cc:432), followed by Optimizer::Marginalize
+    (Optimizer4.cc:625) producing the next frame's 15-dof prior.
+
+    Returns (optimized cur, optimized prev (== input when fixed), the
+    marginalized ConstraintPoseImu on cur for the NEXT frame)."""
+    Tcb = Tcb or SE3()
+    floor = np.repeat(np.asarray(sigma_floor) ** 2, 3)
+    cov = 0.5 * (pre.C[:9, :9] + pre.C[:9, :9].T) + np.diag(floor + 1e-12)
+    try:
+        w_inertial = np.linalg.cholesky(np.linalg.inv(cov)).T
+    except np.linalg.LinAlgError:
+        w_inertial = np.diag(1.0 / np.sqrt(np.maximum(np.diagonal(cov), 1e-12)))
+    walk_var = np.maximum(np.diagonal(pre.C[9:15, 9:15]), 1e-14)
+    w_bias = 1.0 / np.sqrt(walk_var + 1e-8)
+    w_prior = prior.whitener() if prior is not None else None
+
+    ndof = 15 if prev_fixed else 30
+
+    def unpack(s_prev, s_cur, dx):
+        if prev_fixed:
+            return s_prev, _apply_inc(s_cur, dx)
+        return _apply_inc(s_prev, dx[:15]), _apply_inc(s_cur, dx[15:])
+
+    def res(s_prev, s_cur):
+        parts = [
+            _residuals(
+                s_cur, s_prev, pre, obs_pw, obs_uv, obs_ur, inv_sigma2,
+                camera, mbf, Tcb, w_inertial, w_bias,
+            )
+        ]
+        if w_prior is not None and not prev_fixed:
+            parts.append(w_prior @ prior.residual(s_prev))
+        return np.concatenate(parts)
+
+    sp, sc = prev.copy(), cur.copy()
+    lam = 1e-4
+    r0 = res(sp, sc)
+    cost = float(r0 @ r0)
+    eps = 1e-6
+    jac = np.empty((len(r0), ndof))
+    for _ in range(n_iters):
+        r0 = res(sp, sc)
+        for k in range(ndof):
+            d = np.zeros(ndof)
+            d[k] = eps
+            pp, cp = unpack(sp, sc, d)
+            pm, cm = unpack(sp, sc, -d)
+            jac[:, k] = (res(pp, cp) - res(pm, cm)) / (2 * eps)
+        h = jac.T @ jac
+        g = jac.T @ r0
+        stepped = False
+        for _ in range(6):
+            try:
+                dx = np.linalg.solve(
+                    h + lam * np.diag(np.maximum(np.diag(h), 1e-9)), -g
+                )
+            except np.linalg.LinAlgError:
+                lam *= 10
+                continue
+            sp_n, sc_n = unpack(sp, sc, dx)
+            r_new = res(sp_n, sc_n)
+            c_new = float(r_new @ r_new)
+            if c_new < cost:
+                sp, sc, cost = sp_n, sc_n, c_new
+                lam = max(lam / 3, 1e-9)
+                stepped = True
+                break
+            lam *= 10
+        if not stepped:
+            break
+    # final Hessian at the solution -> next frame's prior
+    r0 = res(sp, sc)
+    for k in range(ndof):
+        d = np.zeros(ndof)
+        d[k] = eps
+        pp, cp = unpack(sp, sc, d)
+        pm, cm = unpack(sp, sc, -d)
+        jac[:, k] = (res(pp, cp) - res(pm, cm)) / (2 * eps)
+    h = jac.T @ jac
+    if prev_fixed:
+        h_cur = h
+    else:
+        h_cur = marginalize(h, keep=slice(15, 30), drop=slice(0, 15))
+    next_prior = ConstraintPoseImu(sc.copy(), h_cur)
+    return sc, sp, next_prior
+
+
 def pose_inertial_optimization(
     cur: VIState,
     prev: VIState,

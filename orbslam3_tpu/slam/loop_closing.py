@@ -41,6 +41,22 @@ class LoopClosing:
         # LocalMapping handle for the pause handshake around corrections
         # (reference member mpLocalMapper; set by System)
         self.local_mapper = None
+        # --- place-recognition verification parameters (the reference's
+        # thresholds at LoopClosing1.cc:578 DetectCommonRegionsFromBoW:
+        # nBoWMatches=20, nBoWInliers=15, nSim3Inliers=20, nProjMatches=50,
+        # nProjOptMatches=80, scaled to this front-end's ~1k-feature budget)
+        self.th_bow = 20           # BoW matches to attempt geometric check
+        self.th_ransac = 15        # Sim3-RANSAC inliers
+        self.th_proj = 30          # guided Scw projection matches
+        self.th_opt = 25           # OptimizeSim3 inliers
+        self.th_proj_view = 25     # per-view matches for a coincidence vote
+        # geometric verifications (distinct camera views agreeing on the
+        # candidate region) required before a correction fires — the
+        # reference's mnLoopNumCoincidences >= 3 (LoopClosing1.cc:324-578).
+        # Votes come from the current KF, its covisible KFs (spatial), and
+        # subsequent KFs (temporal carry-over via _pending).
+        self.n_consistency = 3
+        self._pending = None       # partially verified candidate state
 
     # ------------------------------------------------------------------
     def insert_keyframe(self, kf):
@@ -87,7 +103,19 @@ class LoopClosing:
 
     # ------------------------------------------------------------------
     def detect_loop(self, kf, min_matches: int = 20):
-        """Returns (loop_kf, Sim3 cur<-cand, {cur_idx: cand MapPoint}) or None."""
+        """Place recognition with the reference's full verification ladder
+        (NewDetectCommonRegions + DetectCommonRegionsFromBoW,
+        /root/reference/src/LoopClosing1.cc:324-578):
+
+          BoW candidates -> SearchByBoW -> Sim3 RANSAC -> guided Scw
+          SearchByProjection over the candidate's covisible window ->
+          OptimizeSim3 (inlier reclassification) -> coincidence votes from
+          the current KF + its covisible views (spatial) + subsequent KFs
+          (temporal, via DetectAndReffineSim3FromLastKF-style carry-over),
+          firing only at n_consistency agreeing views.
+
+        Returns (loop_kf, Sim3 cur<-cand, {cur_idx: loop MapPoint}) or None.
+        """
         m = self.atlas.get_current_map()
         # same-map loops need a mature map; cross-map merges only need the
         # fresh map to have a few keyframes
@@ -96,6 +124,15 @@ class LoopClosing:
             return None
         if kf.bow_vec is None:
             return None
+
+        # continuation of a partially verified candidate from earlier KFs
+        if self._pending is not None:
+            fired = self._try_pending(kf)
+            if fired is not None:
+                return fired
+            if self._pending is not None:
+                return None  # still accumulating coincidences
+
         candidates = self.db.detect_n_best_candidates(kf, 3)
         for cand in candidates:
             if cand.bad or getattr(cand.map, "bad", False):
@@ -105,7 +142,7 @@ class LoopClosing:
             if cand.map is m and abs(cand.id - kf.id) < 10:
                 continue
             matches, n = matchers.search_by_bow(cand, kf, ratio=0.75)
-            if n < min_matches:
+            if n < max(self.th_bow, min_matches):
                 continue
             idx = sorted(matches.keys())
             own = [kf.map_points[i] for i in idx]
@@ -114,7 +151,7 @@ class LoopClosing:
                 for k, i in enumerate(idx)
                 if own[k] is not None and not own[k].bad and not matches[i].bad
             ]
-            if len(keep) < min_matches:
+            if len(keep) < max(self.th_ransac, min_matches):
                 continue
             idx = [idx[k] for k in keep]
             p_cur = np.stack([kf.Tcw * kf.map_points[i].position for i in idx])
@@ -123,12 +160,120 @@ class LoopClosing:
             s2_cand = s2_cur  # same pyramid parameters
             s12, inl = sim3_ransac(
                 p_cur, p_cand, kf.camera, cand.camera, s2_cur, s2_cand,
-                self.fix_scale, min_inliers=min_matches,
+                self.fix_scale, min_inliers=max(self.th_ransac, min_matches),
             )
             if s12 is None:
                 continue
             good = {idx[k]: matches[idx[k]] for k in range(len(idx)) if inl[k]}
-            return cand, s12, good
+
+            # --- refinement ladder ---------------------------------------
+            window = self._candidate_window_points(cand)
+            from orbslam3_tpu.utils.lie import Sim3
+
+            scw = (s12 * Sim3.from_se3(cand.Tcw)).normalized()
+            proj = matchers.search_by_projection_scw(
+                kf, scw, window, matched=good, th=8.0
+            )
+            if len(proj) < self.th_proj:
+                continue
+            from orbslam3_tpu.optim.sim3_optimizer import optimize_sim3_pairs
+
+            s12_ref, surviving, n_in = optimize_sim3_pairs(
+                kf, cand, proj, s12, fix_scale=self.fix_scale
+            )
+            if n_in < self.th_opt:
+                continue
+            scw = (s12_ref * Sim3.from_se3(cand.Tcw)).normalized()
+            # stricter second projection pass at the refined pose
+            proj2 = matchers.search_by_projection_scw(kf, scw, window, th=5.0)
+            if len(proj2) < self.th_proj:
+                continue
+
+            # --- coincidence votes: current view + covisible views -------
+            votes = 1 + self._spatial_coincidences(kf, scw, window)
+            if votes >= self.n_consistency:
+                return cand, s12_ref, proj2
+            # carry to subsequent keyframes (temporal consistency)
+            self._pending = dict(
+                cand=cand, scw=scw, window=window, votes=votes,
+                last_kf=kf, fails=0,
+            )
+            return None
+        return None
+
+    def _candidate_window_points(self, cand, n_covisibles: int = 10):
+        """Map points of the candidate + its best covisibles (the
+        reference's nNumCovisibles=5..10 window, LoopClosing1.cc:578+)."""
+        kfs = [cand] + [
+            k for k in cand.get_best_covisibility_keyframes(n_covisibles)
+            if not k.bad
+        ]
+        seen = set()
+        out = []
+        for k in kfs:
+            for _, mp in k.get_map_point_indices():
+                if mp.id not in seen:
+                    seen.add(mp.id)
+                    out.append(mp)
+        return out
+
+    def _spatial_coincidences(self, kf, scw, window):
+        """Votes from the current KF's covisible views: each covisible KF
+        re-projects the candidate window through its own propagated Scw and
+        votes if enough matches land (the reference's
+        vpCurrentCovKFs verification loop in DetectCommonRegionsFromBoW)."""
+        from orbslam3_tpu.utils.lie import Sim3
+
+        votes = 0
+        for cov in kf.get_best_covisibility_keyframes(5):
+            if cov.bad:
+                continue
+            s_cov_kf = Sim3.from_se3((cov.Tcw * kf.Twc).normalized())
+            scw_cov = (s_cov_kf * scw).normalized()
+            matched = matchers.search_by_projection_scw(
+                cov, scw_cov, window, th=8.0
+            )
+            if len(matched) >= self.th_proj_view:
+                votes += 1
+            if votes >= self.n_consistency - 1:
+                break
+        return votes
+
+    def _try_pending(self, kf):
+        """Re-verify the pending candidate from this new keyframe
+        (DetectAndReffineSim3FromLastKF role, LoopClosing1.cc:535): predict
+        Scw by composing the odometry since the last verifying KF, re-match,
+        re-optimize; a success adds a coincidence vote, two consecutive
+        failures cancel the candidate."""
+        from orbslam3_tpu.optim.sim3_optimizer import optimize_sim3_pairs
+        from orbslam3_tpu.utils.lie import Sim3
+
+        p = self._pending
+        cand = p["cand"]
+        if cand.bad or kf.bow_vec is None or kf.map is not p["last_kf"].map:
+            self._pending = None
+            return None
+        s_cl = Sim3.from_se3((kf.Tcw * p["last_kf"].Twc).normalized())
+        scw = (s_cl * p["scw"]).normalized()
+        matched = matchers.search_by_projection_scw(kf, scw, p["window"], th=8.0)
+        ok = False
+        if len(matched) >= self.th_proj_view:
+            s12 = (scw * Sim3.from_se3(cand.Tcw).inverse()).normalized()
+            s12_ref, surviving, n_in = optimize_sim3_pairs(
+                kf, cand, matched, s12, fix_scale=self.fix_scale
+            )
+            if n_in >= self.th_opt:
+                ok = True
+                p["votes"] += 1
+                p["last_kf"] = kf
+                p["scw"] = (s12_ref * Sim3.from_se3(cand.Tcw)).normalized()
+                if p["votes"] >= self.n_consistency:
+                    self._pending = None
+                    return cand, s12_ref, surviving
+        if not ok:
+            p["fails"] += 1
+            if p["fails"] >= 2:
+                self._pending = None
         return None
 
     # ------------------------------------------------------------------
@@ -186,9 +331,13 @@ class LoopClosing:
                 kf.add_map_point(mp_loop, i)
                 mp_loop.add_observation(kf, i)
                 mp_loop.compute_distinctive_descriptor()
-        loop_mps = [mp for _, mp in loop_kf.get_map_point_indices()]
+        # loop-side window (loop KF + covisibles, mvpLoopMapPoints) fused
+        # into each corrected group KF through its CORRECTED Sim3 — keeps
+        # the mono scale factor the SE3 pose drops (SearchAndFuse,
+        # LoopClosing3.cc:367 via the Scw Fuse overload)
+        loop_mps = self._candidate_window_points(loop_kf)
         for k in group:
-            matchers.fuse(k, loop_mps, th=4.0)
+            matchers.fuse_scw(k, corrected[k], loop_mps, th=4.0)
 
         # loop edges
         kf.loop_edges.add(loop_kf)

@@ -340,6 +340,138 @@ def search_for_triangulation(kf1, kf2, coarse: bool = False,
     return pairs
 
 
+def search_by_projection_scw(kf, scw, map_points, matched=None,
+                             th: float = 10.0, hamming_ratio: float = 1.0):
+    """Sim3-guided projection matcher (ORBmatcher1.cc SearchByProjection
+    (KeyFrame*, Scw, vpPoints, vpMatched, th, ratioHamming) — used by loop
+    detection refinement and SearchAndFuse during loop/merge).
+
+    scw: Sim3 world->camera candidate pose of kf.  Projects each map point
+    through the DE-SCALED pose (the reference divides out s), gates by
+    image bounds, distance envelope, viewing angle, predicted octave, and
+    Hamming <= TH_LOW * ratio.  Returns dict kf_idx -> MapPoint (seeded
+    from `matched` which is never overwritten)."""
+    from orbslam3_tpu.utils.lie import SE3
+
+    # de-scale: Rcw, tcw/s  (reference: sRcw/scale, stcw/scale)
+    tcw = SE3(scw.R, scw.t / scw.s)
+    ow = tcw.inverse().t
+    out: dict[int, object] = dict(matched) if matched else {}
+    already_mps = {mp.id for mp in out.values()}
+    for mp in map_points:
+        if mp is None or mp.bad or mp.id in already_mps:
+            continue
+        pc = tcw * mp.position
+        if pc[2] <= 0:
+            continue
+        uv = kf.camera.project(pc[None])[0]
+        if not (kf.min_x < uv[0] < kf.max_x and kf.min_y < uv[1] < kf.max_y):
+            continue
+        dist = np.linalg.norm(mp.position - ow)
+        if not (mp.min_distance <= dist <= mp.max_distance):
+            continue
+        if (mp.position - ow) @ mp.normal < 0.5 * dist:
+            continue
+        level = mp.predict_scale(dist, kf)
+        r = th * kf.scale_factors[level]
+        idx = kf.features_in_area(uv[0], uv[1], r, level - 1, level + 1)
+        if len(idx) == 0:
+            continue
+        best, best_i = 256, -1
+        dists = desc_distances(mp.descriptor, kf.desc[idx])
+        for k_i, i in enumerate(idx):
+            if i in out:
+                continue
+            d = int(dists[k_i])
+            if d < best:
+                best, best_i = d, i
+        if best_i >= 0 and best <= TH_LOW * hamming_ratio:
+            out[best_i] = mp
+            already_mps.add(mp.id)
+    return out
+
+
+def search_by_sim3(kf1, kf2, s12, th: float = 7.5):
+    """Mutual Sim3-guided matching between two keyframes
+    (ORBmatcher::SearchBySim3 role): project kf2's map points into kf1
+    through S12 and kf1's into kf2 through S21; keep only agreements.
+    Returns dict kf1_idx -> kf2 MapPoint (new matches only)."""
+    from orbslam3_tpu.utils.lie import Sim3
+
+    s1w = Sim3.from_se3(kf1.Tcw)
+    s2w = Sim3.from_se3(kf2.Tcw)
+    scw1 = (s12 * s2w).normalized()          # world -> cam1 via candidate
+    scw2 = (s12.inverse() * s1w).normalized()  # world -> cam2
+    mps1 = [mp for _, mp in kf1.get_map_point_indices()]
+    mps2 = [mp for _, mp in kf2.get_map_point_indices()]
+    m1 = search_by_projection_scw(kf1, scw1, mps2, th=th)
+    m2 = search_by_projection_scw(kf2, scw2, mps1, th=th)
+    # mutual agreement: kf1 idx i matched to mp2; kf2 side must match mp2's
+    # kf2 index back to the mp1 observed at kf1 idx i
+    idx2_of_mp2 = {}
+    for j, mp in kf2.get_map_point_indices():
+        idx2_of_mp2[mp.id] = j
+    mp1_at_idx1 = {i: mp for i, mp in kf1.get_map_point_indices()}
+    out = {}
+    for i, mp2 in m1.items():
+        j = idx2_of_mp2.get(mp2.id)
+        if j is None:
+            continue
+        mp1_back = m2.get(j)
+        mp1_here = mp1_at_idx1.get(i)
+        if mp1_back is not None and mp1_here is not None and mp1_back.id == mp1_here.id:
+            out[i] = mp2
+    return out
+
+
+def fuse_scw(kf, scw, map_points, th: float = 4.0):
+    """Sim3-guided fuse (ORBmatcher2.cc Fuse(KeyFrame*, Scw, vpPoints, th,
+    vpReplacePoint) — used by LoopClosing::SearchAndFuse,
+    /root/reference/src/LoopClosing3.cc:367): project each loop/merge point
+    through the CORRECTED Sim3 pose; on a hit, an existing map point is
+    replaced by the loop point, an empty slot gains an observation.
+    Returns number fused."""
+    from orbslam3_tpu.utils.lie import SE3
+
+    tcw = SE3(scw.R, scw.t / scw.s)
+    ow = tcw.inverse().t
+    n_fused = 0
+    for mp in map_points:
+        if mp is None or mp.bad or kf in mp.observations:
+            continue
+        pc = tcw * mp.position
+        if pc[2] <= 0:
+            continue
+        uv = kf.camera.project(pc[None])[0]
+        if not (kf.min_x < uv[0] < kf.max_x and kf.min_y < uv[1] < kf.max_y):
+            continue
+        dist = np.linalg.norm(mp.position - ow)
+        if not (mp.min_distance <= dist <= mp.max_distance):
+            continue
+        if (mp.position - ow) @ mp.normal < 0.5 * dist:
+            continue
+        level = mp.predict_scale(dist, kf)
+        r = th * kf.scale_factors[level]
+        idx = kf.features_in_area(uv[0], uv[1], r, level - 1, level + 1)
+        if len(idx) == 0:
+            continue
+        best, best_i = 256, -1
+        dists = desc_distances(mp.descriptor, kf.desc[idx])
+        for k_i, i in enumerate(idx):
+            d = int(dists[k_i])
+            if d < best:
+                best, best_i = d, i
+        if best <= TH_LOW and best_i >= 0:
+            existing = kf.map_points[best_i]
+            if existing is not None and not existing.bad:
+                existing.replace(mp)
+            else:
+                mp.add_observation(kf, best_i)
+                kf.add_map_point(mp, best_i)
+            n_fused += 1
+    return n_fused
+
+
 def fuse(kf, map_points, th: float = 3.0):
     """Project map points into the keyframe and fuse duplicates
     (ORBmatcher2.cc:420).  Returns number fused/added."""

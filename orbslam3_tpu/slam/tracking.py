@@ -137,6 +137,7 @@ class Tracking:
         elif self.state == TrackingState.OK:
             self.state = TrackingState.RECENTLY_LOST
             self.frames_since_lost = 0
+            self._imu_prior = None  # chain broken; restart from next anchor
 
         if ok:
             if self.last_frame.Tcw is not None:
@@ -548,8 +549,10 @@ class Tracking:
                 (fid, ts, SE3(tcr.R, tcr.t * scale), ref, lost)
                 for (fid, ts, tcr, ref, lost) in self.trajectory
             ]
-        # constant-velocity model is stale across the re-anchoring
+        # constant-velocity model is stale across the re-anchoring, and so
+        # is the marginalized VI prior's linearization point
         self.velocity = None
+        self._imu_prior = None
 
     def _refine_pose_inertial(self):
         """Fuse the IMU preintegration into the frame pose once the map is
@@ -574,7 +577,11 @@ class Tracking:
         if lv is None:
             return
         from orbslam3_tpu.imu.preintegration import Bias
-        from orbslam3_tpu.optim.inertial import VIState, pose_inertial_optimization
+        from orbslam3_tpu.optim.inertial import (
+            VIState,
+            pose_inertial_optimization,
+            pose_inertial_optimization_prior,
+        )
 
         if lb is None:
             lb = Bias()
@@ -594,10 +601,7 @@ class Tracking:
         if len(idx) < 10:
             return
         idx = np.asarray(idx)
-        out = pose_inertial_optimization(
-            cur,
-            prev,
-            pre,
+        obs = dict(
             obs_pw=np.stack([f.map_points[i].position for i in idx]),
             obs_uv=f.kps_un[idx],
             obs_ur=f.u_right[idx],
@@ -606,6 +610,23 @@ class Tracking:
             mbf=f.mbf,
             Tcb=Tcb,
         )
+        # Marginalized-prior chain (PoseInertialOptimizationLastKeyFrame /
+        # LastFrame + Marginalize): when the previous frame spawned a
+        # keyframe its state was just re-estimated by mapping — hold it
+        # fixed and restart the chain; otherwise optimize prev jointly,
+        # bound by the prior carried from its own optimization, and
+        # marginalize it out for the next frame.
+        prior = getattr(self, "_imu_prior", None)
+        prev_is_kf = lf.id == self.last_kf_frame_id
+        if prev_is_kf or prior is None:
+            out, _, next_prior = pose_inertial_optimization_prior(
+                cur, prev, pre, prev_fixed=True, **obs
+            )
+        else:
+            out, _, next_prior = pose_inertial_optimization_prior(
+                cur, prev, pre, prior=prior, prev_fixed=False, **obs
+            )
+        self._imu_prior = next_prior
         f.set_pose(Tcb * out.Twb.inverse())
         f.velocity = out.v.copy()
         f.imu_bias = out.bias.copy()
@@ -740,6 +761,7 @@ class Tracking:
         if ok:
             self.last_reloc_frame_id = self.current.id
             self.state = TrackingState.OK
+            self._imu_prior = None
         return ok
 
     def _handle_lost(self):
@@ -759,3 +781,4 @@ class Tracking:
         self.last_kf = None
         self._imu_meas_since_kf = []
         self._ini_frame = None
+        self._imu_prior = None
