@@ -108,6 +108,73 @@ def search_by_projection_local_map(frame, map_points, th: float = 1.0, ratio: fl
     return n_matched
 
 
+# Candidate count above which the dense device matcher beats the host
+# grid-walk for TrackLocalMap.  Measured by bench_matchers.py on this
+# environment (v5e behind the ~45 ms axon relay):
+#   500 mps: host 79 ms / device 156 ms; 2000: host 173 / device 190;
+#   10000: host 812 / device 228.  Crossover ~3k here; on a directly
+# attached chip (sub-ms dispatch) the device path wins from well under 2k.
+DEVICE_MATCH_MIN = 4000
+
+
+def search_by_projection_local_map_device(frame, map_points, th: float = 1.0,
+                                          ratio: float = 0.8):
+    """Device-batched TrackLocalMap matcher: one masked MXU Hamming matmul
+    over every (in-view map point, frame keypoint) pair
+    (ops/matching.search_by_projection_batch) instead of the per-point host
+    grid walk.  Same gates: square window (2.5/4.0 view-cos radius x th x
+    scale), [pred-1, pred] octave band, Hamming <= MATCH_TH, same-level
+    nn-ratio.  Writes frame.map_points; returns match count."""
+    import jax.numpy as jnp
+    import numpy as np_
+
+    from orbslam3_tpu.ops import matching as dm
+
+    cands = [mp for mp in map_points if mp.track_in_view and not mp.bad]
+    if not cands:
+        return 0
+    m = len(cands)
+    proj = np_.asarray([mp.track_proj[:2] for mp in cands], np_.float32)
+    level = np_.asarray([mp.track_proj[3] for mp in cands], np_.int32)
+    view_cos = np_.asarray([mp.track_proj[4] for mp in cands], np_.float32)
+    radius = np_.where(view_cos > 0.998, 2.5, 4.0) * th * np_.asarray(
+        frame.scale_factors, np_.float32
+    )[level]
+    desc = np_.stack([mp.descriptor for mp in cands])
+    # pad to shape buckets so jit caches stay warm across frames
+    mb = int(np_.ceil(m / 1024) * 1024)
+    kb = int(np_.ceil(frame.n / 512) * 512)
+    pad_m = mb - m
+    pad_k = kb - frame.n
+    occupied = np_.array(
+        [mp is not None and mp.n_obs > 0 for mp in frame.map_points], bool
+    )
+    idx, best, matched = dm.search_by_projection_batch(
+        jnp.asarray(np_.pad(proj, ((0, pad_m), (0, 0)))),
+        jnp.asarray(np_.pad(level, (0, pad_m))),
+        jnp.asarray(np_.pad(radius, (0, pad_m))),
+        jnp.asarray(np_.pad(desc, ((0, pad_m), (0, 0)))),
+        jnp.asarray(np_.pad(np_.ones(m, bool), (0, pad_m))),
+        jnp.asarray(np_.pad(frame.kps_un.astype(np_.float32), ((0, pad_k), (0, 0)))),
+        jnp.asarray(np_.pad(frame.octave, (0, pad_k))),
+        jnp.asarray(np_.pad(frame.desc, ((0, pad_k), (0, 0)))),
+        jnp.asarray(np_.pad(~occupied, (0, pad_k), constant_values=False)),
+        th_desc=MATCH_TH,
+        ratio=ratio,
+    )
+    idx = np_.asarray(idx)[:m]
+    matched = np_.asarray(matched)[:m]
+    n_new = 0
+    for k in np_.nonzero(matched)[0]:
+        i = int(idx[k])
+        cur = frame.map_points[i]
+        if cur is not None and cur.n_obs > 0:
+            continue
+        frame.map_points[i] = cands[k]
+        n_new += 1
+    return n_new
+
+
 def search_by_projection_last_frame(cur, last, th: float, mono: bool,
                                     check_rotation: bool = True):
     """Motion-model matching: project last frame's map points into the

@@ -488,7 +488,15 @@ class Tracking:
         if n_to_match > 0:
             if th is None:
                 th = 3 if f.id < self.last_reloc_frame_id + 2 else 1
-            matchers.search_by_projection_local_map(f, self.local_mps, th)
+            # large local maps ride the device batch matcher (one masked MXU
+            # Hamming matmul); small ones stay on host where per-dispatch
+            # latency would dominate (crossover measured by bench_matchers.py)
+            if n_to_match >= matchers.DEVICE_MATCH_MIN:
+                matchers.search_by_projection_local_map_device(
+                    f, self.local_mps, th
+                )
+            else:
+                matchers.search_by_projection_local_map(f, self.local_mps, th)
 
     # --- inertial bookkeeping ---------------------------------------------
     def current_bias(self):

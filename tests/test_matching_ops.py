@@ -64,3 +64,60 @@ def test_rotation_histogram_mask():
     good = np.setdiff1d(np.arange(n), bad)
     assert keep[good].mean() > 0.95
     assert keep[bad].mean() < 0.35
+
+
+def test_device_local_map_matcher_parity():
+    """The device TrackLocalMap path agrees with the host grid-walk on
+    assignments (VERDICT item 7: faster path wired into the loop)."""
+    import numpy as np
+
+    from orbslam3_tpu.cameras.models import Pinhole
+    from orbslam3_tpu.slam import matchers
+    from orbslam3_tpu.slam.frame import Frame
+    from orbslam3_tpu.slam.map_point import MapPoint
+    from orbslam3_tpu.utils.lie import SE3
+
+    rng = np.random.default_rng(3)
+    cam = Pinhole([400.0, 400.0, 320.0, 240.0])
+    scales = 1.2 ** np.arange(8)
+    n_mps, n_kps = 600, 500
+    pts = rng.uniform(-1, 1, (n_mps, 3)) * [4, 3, 2] + [0, 0, 8]
+    descs = rng.integers(0, 256, (n_mps, 32)).astype(np.uint8)
+    uv_vis = cam.project(pts[: n_kps // 2]) + rng.normal(0, 0.4, (n_kps // 2, 2))
+    uv = np.concatenate([uv_vis, rng.uniform([0, 0], [640, 480], (n_kps - n_kps // 2, 2))])
+    kp_desc = np.concatenate(
+        [descs[: n_kps // 2],
+         rng.integers(0, 256, (n_kps - n_kps // 2, 32)).astype(np.uint8)]
+    )
+
+    def make_frame():
+        f = Frame(kps=uv, octave=np.zeros(n_kps, np.int32),
+                  angle=np.zeros(n_kps, np.float32),
+                  response=np.ones(n_kps, np.float32), desc=kp_desc,
+                  camera=cam, scale_factors=scales, mbf=0.0)
+        f.set_image_bounds(0, 0, 640, 480)
+        f.set_pose(SE3())
+        return f
+
+    mps = []
+    for k in range(n_mps):
+        mp = MapPoint(pts[k], None, None)
+        mp.descriptor = descs[k]
+        proj = cam.project(pts[k][None])[0]
+        mp.track_in_view = bool(0 <= proj[0] < 640 and 0 <= proj[1] < 480)
+        mp.track_proj = (proj[0], proj[1], -1.0, 0, 1.0)
+        mps.append(mp)
+
+    f_host = make_frame()
+    n_host = matchers.search_by_projection_local_map(f_host, mps, th=2.0)
+    f_dev = make_frame()
+    n_dev = matchers.search_by_projection_local_map_device(f_dev, mps, th=2.0)
+    assert n_host > 150
+    # same match decisions on the overwhelming majority of slots (the host
+    # walk iterates points in order and can tie-break differently)
+    agree = sum(
+        1 for a, b in zip(f_host.map_points, f_dev.map_points)
+        if (a is None) == (b is None) and (a is None or a is b)
+    )
+    assert agree >= 0.97 * n_kps, (agree, n_kps, n_host, n_dev)
+    assert abs(n_dev - n_host) <= 0.05 * n_host
