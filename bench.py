@@ -72,6 +72,68 @@ def main() -> None:
         np.asarray(run(pairs))
         times.append((time.perf_counter() - t0) * 1e3 / n)
     value = float(np.median(times))
+
+    # --- supplementary honesty lines (VERDICT r1 item 5) -----------------
+    # batch=1 single-pair dispatch INCLUDING host round-trip, the number a
+    # real-time loop sees; plus the measured fixed dispatch floor of this
+    # environment (axon relay ~45 ms) so compute can be separated from
+    # transport.  Printed BEFORE the headline line (driver parses the last).
+    @jax.jit
+    def run_one(pair):
+        out = sf.extract_and_match_stereo.__wrapped__(
+            pair, params, sf.DEFAULT_MBF, sf.DEFAULT_FX
+        )
+        acc = jnp.float32(0)
+        for leaf in jax.tree.leaves(out):
+            acc = acc + leaf.astype(jnp.float32).sum()
+        return acc
+
+    one_host = np.stack([make_frame(0), make_frame(1)])
+    np.asarray(run_one(jax.device_put(one_host)))  # compile
+    b1 = []
+    for _ in range(12):
+        t0 = time.perf_counter()
+        np.asarray(run_one(jax.device_put(one_host)))
+        b1.append((time.perf_counter() - t0) * 1e3)
+
+    @jax.jit
+    def noop(x):
+        return x + 1.0
+
+    tiny = jax.device_put(np.zeros((8, 8), np.float32))
+    np.asarray(noop(tiny))
+    floor = []
+    for _ in range(12):
+        t0 = time.perf_counter()
+        np.asarray(noop(tiny))
+        floor.append((time.perf_counter() - t0) * 1e3)
+    b1_min = float(np.min(b1))
+    floor_min = float(np.min(floor))
+    print(json.dumps({
+        "metric": "stereo_batch1_latency_ms",
+        "value": round(b1_min, 2),
+        "unit": "ms",
+        "dispatch_floor_ms": round(floor_min, 2),
+        "batch1_minus_floor_ms": round(max(b1_min - floor_min, 0.0), 2),
+        "note": "includes host->device transfer; floor is the relay's fixed per-dispatch latency",
+    }))
+    # rough MFU from XLA's own flop count for the scan program
+    try:
+        ca = run.lower(pairs).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        peak = 197e12  # v5e bf16 peak
+        mfu = flops / max(value * 1e-3 * n, 1e-9) / peak
+        print(json.dumps({
+            "metric": "fused_extractor_mfu",
+            "value": round(mfu, 4),
+            "unit": "fraction_of_v5e_bf16_peak",
+            "program_gflops_per_frame": round(flops / n / 1e9, 2),
+        }))
+    except Exception:
+        pass
+
     print(
         json.dumps(
             {
