@@ -159,7 +159,7 @@ def pose_inertial_optimization_prior(
     prior: ConstraintPoseImu | None = None,
     prev_fixed: bool = False,
     n_iters: int = 8,
-    sigma_floor: tuple = (1e-4, 1e-3, 1e-4),
+    sigma_floor: tuple = (2e-3, 0.03, 3e-3),
 ) -> tuple[VIState, VIState, ConstraintPoseImu]:
     """Frame-to-frame VI optimization with marginalized-prior carry-over.
 
