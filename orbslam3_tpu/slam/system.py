@@ -208,11 +208,15 @@ class System:
         """imu: optional (acc (N,3), gyro (N,3), dts (N,)) samples covering
         the interval since the previous frame (System::TrackStereo's vImuMeas
         role); preintegrated and attached for IMU prediction/dead-reckoning."""
-        img_l, img_r = self._preprocess_stereo(img_l, img_r)
-        if self.lapping1 is not None:
-            feats = self._extract_stereo_fisheye(img_l, img_r)
-        else:
-            feats = self._extract_stereo(img_l, img_r)
+        from orbslam3_tpu.utils.benchmark import trace_range
+
+        with trace_range("1.0_GrabImageStereo.preprocess"):
+            img_l, img_r = self._preprocess_stereo(img_l, img_r)
+        with trace_range("1.1_GrabImageStereo.extract"):
+            if self.lapping1 is not None:
+                feats = self._extract_stereo_fisheye(img_l, img_r)
+            else:
+                feats = self._extract_stereo(img_l, img_r)
         frame = Frame(
             kps=feats["kps"],
             octave=feats["octave"],
@@ -308,7 +312,8 @@ class System:
             frame.feat_vec = None
         if imu is not None:
             frame.imu_preint = self._preintegrate(imu)
-        return self.tracker.track_frame(frame)
+        with trace_range("2_Track"):
+            return self.tracker.track_frame(frame)
 
     def _preintegrate(self, imu: tuple):
         """Per-frame preintegration with the tracker's current bias estimate

@@ -119,6 +119,49 @@ class Benchmark:
                 f.write(f"{tag}: {mu:.4f}$\\pm${sd:.4f} (n={n})\n")
 
 
+# ---------------------------------------------------------------------------
+# device-profiler hooks (the reference's NVTX PUSH_RANGE/POP_RANGE analog,
+# /root/reference/include/Utils.hpp:17-38 — here jax.profiler, whose traces
+# open in TensorBoard/XProf instead of nsight)
+# ---------------------------------------------------------------------------
+
+@contextmanager
+def device_trace(log_dir: str):
+    """Capture a jax.profiler trace of everything inside the block
+    (PUSH_RANGE-session analog; `tensorboard --logdir <dir>` to inspect)."""
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+@contextmanager
+def trace_range(name: str):
+    """Named range visible in the device trace timeline AND recorded in the
+    host Benchmark (PUSH_RANGE/POP_RANGE role for a single stage)."""
+    import jax
+
+    with jax.profiler.TraceAnnotation(name):
+        with Benchmark.the().measure(name):
+            yield
+
+
+def annotate_function(name: str):
+    """Decorator form of trace_range (MEASURE_*+NVTX combined)."""
+
+    def deco(fn):
+        def wrapped(*a, **kw):
+            with trace_range(name):
+                return fn(*a, **kw)
+
+        return wrapped
+
+    return deco
+
+
 class Verbose:
     """Leveled stdout logger (System.h:47-72 Verbose role)."""
 

@@ -2,6 +2,8 @@
 (TUM-VI-style configuration: two KB8 cameras + lapping areas; depth from
 overlap kNN matching + KB8 triangulation)."""
 
+import pytest
+
 import numpy as np
 
 from orbslam3_tpu.cameras.models import KannalaBrandt8
@@ -10,6 +12,9 @@ from orbslam3_tpu.slam.system import System
 from orbslam3_tpu.slam.tracking import TrackingState
 from orbslam3_tpu.utils.lie import SE3, so3_exp
 from orbslam3_tpu.utils.synth import PlaneWorld, ate_rmse, make_texture, render_world
+
+pytestmark = pytest.mark.slow  # full-sequence e2e: nightly tier
+
 
 H, W = 288, 384
 BASELINE = 0.1

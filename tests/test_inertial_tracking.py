@@ -1,5 +1,7 @@
 """IMU dead-reckoning through a visual blackout, with re-acquisition."""
 
+import pytest
+
 import numpy as np
 
 from orbslam3_tpu.cameras.models import Pinhole
@@ -7,6 +9,9 @@ from orbslam3_tpu.oracle.orb_cpu import PyramidParams
 from orbslam3_tpu.slam.system import System
 from orbslam3_tpu.slam.tracking import TrackingState
 from orbslam3_tpu.utils.synth import imu_samples_between, stereo_sequence
+
+pytestmark = pytest.mark.slow  # full-sequence e2e: nightly tier
+
 
 FX = 350.0
 H, W = 384, 512

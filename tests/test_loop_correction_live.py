@@ -17,6 +17,9 @@ from orbslam3_tpu.utils.lie import SE3, Sim3, so3_exp
 from orbslam3_tpu.utils.synth import stereo_sequence
 from orbslam3_tpu.vocab.vocabulary import BinaryVocabulary
 
+pytestmark = pytest.mark.slow  # full-sequence e2e: nightly tier
+
+
 FX = 350.0
 H, W = 384, 512
 

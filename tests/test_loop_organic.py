@@ -16,6 +16,8 @@ organically:
    tests/test_loop_correction_live.py with injected drift, and cross-map by
    tests/test_map_merge.py)."""
 
+import pytest
+
 import numpy as np
 
 from orbslam3_tpu.cameras.models import Pinhole
@@ -25,6 +27,9 @@ from orbslam3_tpu.slam.tracking import TrackingState
 from orbslam3_tpu.utils.lie import SE3, so3_exp
 from orbslam3_tpu.utils.synth import ate_rmse, stereo_sequence
 from orbslam3_tpu.vocab.vocabulary import BinaryVocabulary
+
+pytestmark = pytest.mark.slow  # full-sequence e2e: nightly tier
+
 
 FX = 350.0
 H, W = 384, 512

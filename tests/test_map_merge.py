@@ -1,5 +1,7 @@
 """Cross-map merge: lose tracking, start a fresh map, weld it back."""
 
+import pytest
+
 import numpy as np
 
 from orbslam3_tpu.cameras.models import Pinhole
@@ -8,6 +10,9 @@ from orbslam3_tpu.slam.system import System
 from orbslam3_tpu.slam.tracking import TrackingState
 from orbslam3_tpu.utils.synth import stereo_sequence
 from orbslam3_tpu.vocab.vocabulary import BinaryVocabulary
+
+pytestmark = pytest.mark.slow  # full-sequence e2e: nightly tier
+
 
 FX = 350.0
 H, W = 384, 512

@@ -9,6 +9,9 @@ from orbslam3_tpu.slam.system import System
 from orbslam3_tpu.slam.tracking import TrackingState
 from orbslam3_tpu.utils.synth import stereo_sequence, ate_rmse
 
+pytestmark = pytest.mark.slow  # full-sequence e2e: nightly tier
+
+
 FX = 350.0
 H, W = 384, 512
 

@@ -2,6 +2,8 @@
 monocular map (the reference's mono-inertial EuRoC configuration;
 fix_scale=False path of the VI alignment + Map::ApplyScaledRotation)."""
 
+import pytest
+
 import numpy as np
 
 from orbslam3_tpu.cameras.models import Pinhole
@@ -16,6 +18,8 @@ from orbslam3_tpu.utils.synth import (
     stereo_sequence,
     trajectory_pose,
 )
+
+pytestmark = pytest.mark.slow  # full-sequence e2e: nightly tier
 
 FX = 350.0
 H, W = 384, 512

@@ -57,18 +57,21 @@ def rect_run():
     return sysm, est, gt, states
 
 
+@pytest.mark.slow
 def test_tracks_unrectified_rig(rect_run):
     sysm, est, gt, states = rect_run
     assert len(est) == 25
     assert all(s == TrackingState.OK for s in states)
 
 
+@pytest.mark.slow
 def test_ate_rmse_unrectified_rig(rect_run):
     sysm, est, gt, states = rect_run
     rmse = ate_rmse(est, gt)
     assert rmse < 0.01, f"ATE RMSE {rmse*100:.2f} cm"
 
 
+@pytest.mark.slow
 def test_unrectified_input_fails_without_rectifier():
     """Negative control: the same raw distorted pair fed WITHOUT
     rectification must produce far fewer valid stereo depths (this is what

@@ -15,6 +15,7 @@ H, W = 384, 512
 BASELINE = 0.12
 
 
+@pytest.mark.slow
 def test_relocalization_after_kidnap():
     camera = Pinhole([FX, FX, W / 2, H / 2])
     mbf = FX * BASELINE

@@ -14,6 +14,9 @@ from orbslam3_tpu.slam.system import System
 from orbslam3_tpu.slam.tracking import TrackingState
 from orbslam3_tpu.utils.synth import ate_rmse, rgbd_sequence
 
+pytestmark = pytest.mark.slow  # full-sequence e2e: nightly tier
+
+
 FX = 350.0
 H, W = 384, 512
 VIRTUAL_BF = FX * 0.08  # synthetic baseline*f for u_right encoding

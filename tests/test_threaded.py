@@ -4,6 +4,8 @@ Role-parity with the reference's thread layout (System.cc:197,214): local
 mapping and loop closing run on their own threads, decoupled by KF queues,
 synchronized with the tracker through the per-map update lock."""
 
+import pytest
+
 import time
 
 import numpy as np
@@ -14,6 +16,9 @@ from orbslam3_tpu.slam.system import System
 from orbslam3_tpu.slam.tracking import TrackingState
 from orbslam3_tpu.utils.synth import ate_rmse, stereo_sequence
 from orbslam3_tpu.vocab.vocabulary import BinaryVocabulary
+
+pytestmark = pytest.mark.slow  # full-sequence e2e: nightly tier
+
 
 FX = 350.0
 H, W = 384, 512
