@@ -144,35 +144,46 @@ def _fused_pyramid_mats(sh: int, sw: int, sizes: tuple):
 
 def build_pyramid(image: jax.Array, params: PyramidParams) -> list[jax.Array]:
     """All pyramid levels (uint8); level l is a bit-exact cv2 INTER_LINEAR
-    resize of the native image (oracle.build_pyramid semantics)."""
+    resize of the native image (oracle.build_pyramid semantics).
+
+    The horizontal tap pass is SHARED across levels (one (sh, sum_w)
+    matmul — every level reads the same source rows), but the vertical row
+    selections run per level: the earlier all-levels formulation computed a
+    full (sum_h, sum_w) product and kept only its diagonal blocks, wasting
+    ~4x the MXU work (off-diagonal blocks select level A's rows against
+    level B's columns and are discarded)."""
     sh, sw = image.shape
     sizes = params.level_sizes(sh, sw)[1:]
     if not sizes:
         return [image]
-    mx_hi, mx_lo, s0, s1, by0, by1 = _fused_pyramid_mats(sh, sw, tuple(sizes))
+    mx_hi, mx_lo, s0c, s1c, by0c, by1c = _fused_pyramid_mats(sh, sw, tuple(sizes))
     srcb = image.astype(jnp.bfloat16)
     rows = jnp.dot(srcb, jnp.asarray(mx_hi), preferred_element_type=jnp.float32)
     rows = rows + jnp.dot(srcb, jnp.asarray(mx_lo), preferred_element_type=jnp.float32)
-    rows4 = rows.astype(jnp.int32) >> 4
+    rows4 = rows.astype(jnp.int32) >> 4        # (sh, sum_w)
     hi = (rows4 >> 8).astype(jnp.bfloat16)
     lo = (rows4 & 255).astype(jnp.bfloat16)
-
-    def select(sel):
-        sel = jnp.asarray(sel)
-        return (
-            jnp.dot(sel, hi, preferred_element_type=jnp.float32) * 256.0
-            + jnp.dot(sel, lo, preferred_element_type=jnp.float32)
-        ).astype(jnp.int32)
-
-    r0 = select(s0)   # (sum_h, sum_w) — level blocks live on the diagonal
-    r1 = select(s1)
-    out = (((jnp.asarray(by0) * r0) >> 16) + ((jnp.asarray(by1) * r1) >> 16) + 2) >> 2
-    out = jnp.clip(out, 0, 255).astype(jnp.uint8)
 
     levels = [image]
     y = x = 0
     for (dh, dw) in sizes:
-        levels.append(out[y : y + dh, x : x + dw])
+        s0 = jnp.asarray(s0c[y : y + dh])      # (dh, sh) one-hot
+        s1 = jnp.asarray(s1c[y : y + dh])
+        hi_l = hi[:, x : x + dw]
+        lo_l = lo[:, x : x + dw]
+
+        def select(sel):
+            return (
+                jnp.dot(sel, hi_l, preferred_element_type=jnp.float32) * 256.0
+                + jnp.dot(sel, lo_l, preferred_element_type=jnp.float32)
+            ).astype(jnp.int32)
+
+        r0 = select(s0)
+        r1 = select(s1)
+        by0 = jnp.asarray(by0c[y : y + dh])
+        by1 = jnp.asarray(by1c[y : y + dh])
+        out = (((by0 * r0) >> 16) + ((by1 * r1) >> 16) + 2) >> 2
+        levels.append(jnp.clip(out, 0, 255).astype(jnp.uint8))
         y += dh
         x += dw
     return levels

@@ -1,5 +1,7 @@
 """Fused extractor pipeline: parity vs the CPU oracle."""
 
+import pytest
+
 import numpy as np
 
 from orbslam3_tpu.oracle import orb_cpu as oc
@@ -17,6 +19,7 @@ def _oracle_corner_sets(img, params):
     return sets
 
 
+@pytest.mark.slow
 def test_extractor_keypoints_are_true_corners(test_image):
     import jax.numpy as jnp
     from orbslam3_tpu.ops.extractor import extract_features_jit
@@ -37,6 +40,7 @@ def test_extractor_keypoints_are_true_corners(test_image):
         assert (lx, ly) in corner_sets[lvl], (lvl, lx, ly)
 
 
+@pytest.mark.slow
 def test_extractor_descriptors_match_oracle_pointwise(test_image):
     """For every selected keypoint, angle/descriptor match the oracle's
     computation at that same location (platform-trig tolerance on bits)."""
@@ -69,6 +73,7 @@ def test_extractor_descriptors_match_oracle_pointwise(test_image):
     assert exact / total > 0.95
 
 
+@pytest.mark.slow
 def test_extractor_batch_matches_single(small_image):
     import jax.numpy as jnp
     from orbslam3_tpu.ops.extractor import (

@@ -33,6 +33,7 @@ def fisheye_scene():
     return cam, world, img_l, img_r
 
 
+@pytest.mark.slow
 def test_fisheye_stereo_depth_vs_gt(fisheye_scene):
     cam, world, img_l, img_r = fisheye_scene
     params = PyramidParams(n_features=700)
@@ -76,6 +77,7 @@ def test_kb8_triangulate_exact_correspondences():
     np.testing.assert_allclose(p3d[ok], p_l[ok], atol=1e-6)
 
 
+@pytest.mark.slow
 def test_fisheye_lapping_split(fisheye_scene):
     cam, world, img_l, img_r = fisheye_scene
     params = PyramidParams(n_features=500)

@@ -81,6 +81,7 @@ def test_settings_parse_euroc_style(tmp_path):
     assert "Viewer.KeyFrameSize" in s.viewer
 
 
+@pytest.mark.slow
 def test_system_from_files_and_atlas_roundtrip(tmp_path):
     from orbslam3_tpu.slam.system import System
     from orbslam3_tpu.utils.synth import stereo_sequence
@@ -134,6 +135,7 @@ def test_benchmark_lib(tmp_path):
     assert "stage.a" in open(out).read()
 
 
+@pytest.mark.slow
 def test_headless_viewer(tmp_path):
     from orbslam3_tpu.slam.system import System
     from orbslam3_tpu.utils.synth import stereo_sequence

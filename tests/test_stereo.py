@@ -1,5 +1,7 @@
 """Device stereo LR matcher vs the CPU oracle (bit-exact parity)."""
 
+import pytest
+
 import numpy as np
 import jax
 
@@ -17,6 +19,7 @@ def shifted_pair(img: np.ndarray, shift: int = 12) -> np.ndarray:
     return np.stack([img, right])
 
 
+@pytest.mark.slow
 def test_stereo_match_parity(small_image):
     params = PyramidParams(n_features=300)
     pair = shifted_pair(small_image)
