@@ -24,7 +24,7 @@ import numpy as np
 
 from orbslam3_tpu.oracle.orb_cpu import FAST_BORDER, PATCH_SIZE, PyramidParams
 from orbslam3_tpu.ops.pyramid import build_pyramid, gaussian_blur7_u8
-from orbslam3_tpu.ops.fast import detect_two_threshold
+from orbslam3_tpu.ops.fast import detect_two_threshold, detect_two_threshold_multi
 from orbslam3_tpu.ops.select import select_topk_grid
 from orbslam3_tpu.ops.orientation import ic_angles
 from orbslam3_tpu.ops.brief import brief_descriptors, brief_sampling_image
@@ -72,16 +72,29 @@ def extract_from_pyramid(
     quotas = [int(q) for q in params.features_per_level()]
     scales = params.scale_factors
     b = FAST_BORDER
+    # FAST detection for every level in ONE composite pass (one Pallas
+    # launch + one NMS/retry instead of eight of each)
+    active = []
+    crops = []
+    for level, img in enumerate(pyramid):
+        h, w = img.shape
+        ch, cw = h - 2 * b, w - 2 * b
+        if ch >= 7 and cw >= 7 and quotas[level] > 0:
+            active.append(level)
+            crops.append(img[b : h - b, b : w - b])
+    score_list = detect_two_threshold_multi(
+        crops, params.ini_th_fast, params.min_th_fast
+    )
+    scores = dict(zip(active, score_list))
     blocks: list[FrameFeatures] = []
     for level, img in enumerate(pyramid):
         h, w = img.shape
         k = quotas[level]
         ch, cw = h - 2 * b, w - 2 * b
-        if ch < 7 or cw < 7 or k <= 0:
+        if level not in scores:
             blocks.append(_empty_level_block(max(k, 0)))
             continue
-        crop = img[b : h - b, b : w - b]
-        score = detect_two_threshold(crop, params.ini_th_fast, params.min_th_fast)
+        score = scores[level]
         k_eff = min(k, ch * cw)
         xy_c, resp, valid = select_topk_grid(score, k_eff)
         xy_i = xy_c + b  # add detection border back (addBorder_kernel semantics)

@@ -162,6 +162,51 @@ def nms3(score: jax.Array) -> jax.Array:
     return jnp.where(keep & (score > 0), score, 0)
 
 
+def detect_two_threshold_multi(
+    crops: list, ini_th: int, min_th: int
+) -> list:
+    """detect_two_threshold for ALL pyramid levels in ONE pass.
+
+    The crops are stacked into a single composite image (each level padded
+    to a 32-row/col multiple so the per-tile retry grid stays anchored at
+    its own origin) and the score/NMS/retry pipeline runs once — one Pallas
+    launch instead of eight.  Bit-identical to the per-level path: each
+    level's 3-px ring frame is zeroed BEFORE NMS exactly as
+    raw_score_map does per level, and interior pixels never read across a
+    level boundary (ring radius 3 < 3-px zeroed frame + padding).
+    """
+    import numpy as np
+
+    if not crops:
+        return []
+    w_max = max(-(-c.shape[1] // TILE) * TILE for c in crops)
+    rows = []
+    meta = []
+    y = 0
+    for crop in crops:
+        ch, cw = crop.shape
+        ph = -(-ch // TILE) * TILE
+        padded = jnp.zeros((ph, w_max), crop.dtype).at[:ch, :cw].set(crop)
+        rows.append(padded)
+        meta.append((y, ch, cw))
+        y += ph
+    comp = jnp.concatenate(rows, axis=0)
+    raw = raw_score_map(comp)
+    # per-level 3-px ring frames (static mask)
+    mask = np.zeros(comp.shape, bool)
+    for (y0, ch, cw) in meta:
+        mask[y0 + 3 : y0 + ch - 3, 3 : cw - 3] = True
+    raw = jnp.where(jnp.asarray(mask), raw, 0)
+    hi = jnp.where(raw >= ini_th, raw, 0)
+    lo = jnp.where(raw >= min_th, raw, 0)
+    tile_max = jax.lax.reduce_window(
+        hi, jnp.int32(0), jax.lax.max, (TILE, TILE), (TILE, TILE), "VALID"
+    )
+    use_hi = jnp.repeat(jnp.repeat(tile_max > 0, TILE, axis=0), TILE, axis=1)
+    score = nms3(jnp.where(use_hi, hi, lo))
+    return [score[y0 : y0 + ch, :cw] for (y0, ch, cw) in meta]
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def detect_two_threshold(crop: jax.Array, ini_th: int, min_th: int) -> jax.Array:
     """NMS'd score map of the detection crop with per-tile threshold fallback.

@@ -61,3 +61,21 @@ def test_two_threshold_fallback_triggers():
     assert sc_hi.max() == 0
     kps = oc.fast_keypoints_two_threshold(img, 20, 7)
     assert len(kps) >= 1
+
+
+def test_multi_level_detect_matches_per_level(test_image):
+    """Composite all-levels detection is bit-identical to per-level calls."""
+    import jax.numpy as jnp
+
+    from orbslam3_tpu.oracle.orb_cpu import FAST_BORDER, PyramidParams
+    from orbslam3_tpu.ops.fast import detect_two_threshold, detect_two_threshold_multi
+    from orbslam3_tpu.ops.pyramid import build_pyramid
+
+    params = PyramidParams(n_features=1000)
+    pyr = build_pyramid(jnp.asarray(test_image), params)
+    b = FAST_BORDER
+    crops = [img[b:-b, b:-b] for img in pyr]
+    multi = detect_two_threshold_multi(crops, params.ini_th_fast, params.min_th_fast)
+    for crop, got in zip(crops, multi):
+        want = detect_two_threshold(crop, params.ini_th_fast, params.min_th_fast)
+        np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
