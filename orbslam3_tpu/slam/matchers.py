@@ -28,7 +28,21 @@ HISTO_LENGTH = 30
 # and a wrong pairing is STICKY (the same descriptor pair re-matches every
 # frame, feeding drift-consistent evidence into pose optimization).  A
 # tighter gate breaks wrong-pair formation at negligible recall cost.
+# DELIBERATE DEVIATION, tuned on the synthetic world — gate it (and the
+# same-octave-first candidate search) behind set_tuning() so real-data
+# runs can restore the reference's values (Tuning.* keys in Settings).
 MATCH_TH = 50
+SAME_OCTAVE_FIRST = True
+
+
+def set_tuning(match_th: int | None = None,
+               same_octave_first: bool | None = None):
+    """Override the deviation knobs (wired from Settings Tuning.* keys)."""
+    global MATCH_TH, SAME_OCTAVE_FIRST
+    if match_th is not None:
+        MATCH_TH = int(match_th)
+    if same_octave_first is not None:
+        SAME_OCTAVE_FIRST = bool(same_octave_first)
 
 
 def desc_distance(a: np.ndarray, b: np.ndarray) -> int:
@@ -207,8 +221,13 @@ def search_by_projection_last_frame(cur, last, th: float, mono: bool,
         # while same-level re-detections differ by ~16 — cross-octave
         # comparisons are the dominant junk-match source.  Widen to the
         # reference's +/-1 (or forward/backward) band only when the same
-        # level has no candidate.
-        idx = cur.features_in_area(uv[0], uv[1], r, last_oct, last_oct)
+        # level has no candidate.  (Deviation knob SAME_OCTAVE_FIRST;
+        # False = the reference's band directly.)
+        idx = (
+            cur.features_in_area(uv[0], uv[1], r, last_oct, last_oct)
+            if SAME_OCTAVE_FIRST
+            else []
+        )
         if len(idx) == 0:
             if forward:
                 idx = cur.features_in_area(uv[0], uv[1], r, last_oct, -1)

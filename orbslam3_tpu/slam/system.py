@@ -477,6 +477,24 @@ class System:
         )
         sysm.settings = st
         sysm.depth_map_factor = st.depth_map_factor
+        # apply deviation-knob overrides (Tuning.* YAML keys): restores the
+        # reference's values for real-data runs if the defaults tuned on the
+        # synthetic world underperform there
+        if st.tuning:
+            from orbslam3_tpu.slam import matchers as _m
+
+            _m.set_tuning(
+                match_th=st.tuning.get("matchTh"),
+                same_octave_first=st.tuning.get("sameOctaveFirst"),
+            )
+            if "monoInitMinMatches" in st.tuning:
+                sysm.tracker.mono_init_min_matches = int(
+                    st.tuning["monoInitMinMatches"]
+                )
+            if "voPointsInFinalVote" in st.tuning:
+                sysm.tracker.vo_points_in_final_vote = bool(
+                    st.tuning["voPointsInFinalVote"]
+                )
         sysm.tracker.depth_th = (mbf / camera.fx) * st.depth_th_factor if mbf else 0
         if st.load_atlas:
             sysm.load_atlas(st.load_atlas)

@@ -75,6 +75,9 @@ class Settings:
     min_th_fast: int = 7
     # viewer
     viewer: dict = field(default_factory=dict)
+    # deviation knobs (tuning gates for this framework's deliberate
+    # semantic deviations from the reference; absent keys keep defaults)
+    tuning: dict = field(default_factory=dict)
     # atlas persistence
     load_atlas: str | None = None
     save_atlas: str | None = None
@@ -240,6 +243,9 @@ def load_settings(path: str, sensor: str = "stereo") -> Settings:
     s.min_th_fast = int(get("ORBextractor.minThFAST", default=7))
 
     s.viewer = {k: v for k, v in d.items() if k.startswith("Viewer.")}
+    s.tuning = {
+        k.split(".", 1)[1]: v for k, v in d.items() if k.startswith("Tuning.")
+    }
     s.load_atlas = get("System.LoadAtlasFromFile")
     s.save_atlas = get("System.SaveAtlasToFile")
     return s

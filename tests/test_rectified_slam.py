@@ -180,3 +180,35 @@ Camera.bf: 40.0
     img = np.zeros((384, 512), np.uint8)
     out_l, _ = sysm._preprocess_stereo(img, img)
     assert out_l.shape == (192, 256)
+
+
+def test_tuning_knobs_from_yaml(tmp_path):
+    """Tuning.* keys override the deliberate-deviation defaults."""
+    from orbslam3_tpu.slam import matchers
+
+    yaml_text = """%YAML:1.0
+---
+Camera.type: "PinHole"
+Camera1.fx: 400.0
+Camera1.fy: 400.0
+Camera1.cx: 256.0
+Camera1.cy: 192.0
+Camera.width: 512
+Camera.height: 384
+Camera.fps: 20
+Tuning.matchTh: 100
+Tuning.sameOctaveFirst: 0
+Tuning.monoInitMinMatches: 100
+Tuning.voPointsInFinalVote: 1
+"""
+    p = tmp_path / "tuned.yaml"
+    p.write_text(yaml_text)
+    old_th, old_oct = matchers.MATCH_TH, matchers.SAME_OCTAVE_FIRST
+    try:
+        sysm = System.from_files(None, str(p), sensor="mono")
+        assert matchers.MATCH_TH == 100
+        assert matchers.SAME_OCTAVE_FIRST is False
+        assert sysm.tracker.mono_init_min_matches == 100
+        assert sysm.tracker.vo_points_in_final_vote is True
+    finally:
+        matchers.set_tuning(match_th=old_th, same_octave_first=old_oct)
