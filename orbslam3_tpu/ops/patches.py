@@ -101,6 +101,49 @@ def extract_level_strips(
     )
 
 
+def extract_row_strips(
+    img2d: jax.Array,
+    row0: jax.Array,
+    x0: jax.Array,
+    nr: int,
+    nc: int,
+) -> jax.Array:
+    """(K, nr, nc) windows from a 2D composite — window k reads
+    img2d[row0[k]:row0[k]+nr, x0[k]:x0[k]+nc].
+
+    Same one-hot machinery as extract_level_strips but over a CONCATENATED
+    (sum_h, W) composite instead of a zero-padded (L, H0, W0) stack: the
+    base-row one-hot contracts over sum_h (~1.4k rows for a 752x480
+    8-level pyramid) instead of L*H0 (3.8k), cutting the strip-extraction
+    MXU work ~2.7x.  Bit-identical (one contributor per output)."""
+    h, w = img2d.shape
+    img2d = img2d.astype(jnp.bfloat16)
+    base_oh = onehot_bf16(row0, h)                       # (K, H)
+    img_pad = jnp.concatenate(
+        [img2d, jnp.zeros((nr, w), img2d.dtype)], axis=0
+    )
+    strips = jnp.stack(
+        [
+            jnp.einsum(
+                "kh,hw->kw",
+                base_oh,
+                jax.lax.dynamic_slice_in_dim(img_pad, r, h, 0),
+                preferred_element_type=jnp.bfloat16,
+            )
+            for r in range(nr)
+        ],
+        axis=1,
+    )  # (K, nr, W)
+    cols = x0[:, None] + jnp.arange(nc, dtype=jnp.int32)[None, :]
+    col_oh = onehot_bf16(cols, w)                        # (K, nc, W)
+    return jnp.einsum(
+        "krw,kcw->krc",
+        strips,
+        col_oh,
+        preferred_element_type=jnp.float32,
+    )
+
+
 def sample_patches(patches: jax.Array, r: jax.Array, c: jax.Array) -> jax.Array:
     """samples[k, s] = patches[k, r[k, s], c[k, s]] via separable one-hots.
 
