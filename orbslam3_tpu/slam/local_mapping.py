@@ -342,6 +342,7 @@ class LocalMapping:
                 k.imu_bias = bias.copy()
         m.imu_initialized = True
         m.is_inertial = True
+        m.imu_init_time = kf.timestamp  # System::GetTimeFromIMUInit anchor
         if self.tracker is not None:
             self.tracker.update_frame_imu(t_align, scale, bias, kf)
         m.info_changed()

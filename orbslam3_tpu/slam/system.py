@@ -19,6 +19,7 @@ from orbslam3_tpu.slam.frame import Frame
 from orbslam3_tpu.slam.local_mapping import LocalMapping
 from orbslam3_tpu.slam.map import Atlas
 from orbslam3_tpu.slam.tracking import Tracking
+from orbslam3_tpu.utils.benchmark import trace_range
 from orbslam3_tpu.utils.lie import SE3
 
 
@@ -208,8 +209,6 @@ class System:
         """imu: optional (acc (N,3), gyro (N,3), dts (N,)) samples covering
         the interval since the previous frame (System::TrackStereo's vImuMeas
         role); preintegrated and attached for IMU prediction/dead-reckoning."""
-        from orbslam3_tpu.utils.benchmark import trace_range
-
         with trace_range("1.0_GrabImageStereo.preprocess"):
             img_l, img_r = self._preprocess_stereo(img_l, img_r)
         with trace_range("1.1_GrabImageStereo.extract"):
@@ -237,7 +236,8 @@ class System:
             frame.feat_vec = None
         if imu is not None:
             frame.imu_preint = self._preintegrate(imu)
-        return self.tracker.track_frame(frame)
+        with trace_range("2_Track"):
+            return self.tracker.track_frame(frame)
 
     def track_rgbd(
         self,
@@ -570,6 +570,34 @@ class System:
 
     def get_tracking_state(self):
         return self.tracker.state
+
+    def is_lost(self) -> bool:
+        """System::isLost role."""
+        from orbslam3_tpu.slam.tracking import TrackingState
+
+        return self.tracker.state in (
+            TrackingState.LOST, TrackingState.RECENTLY_LOST
+        )
+
+    def get_time_from_imu_init(self) -> float:
+        """Seconds of tracking since VI initialization of the active map
+        (System::GetTimeFromIMUInit role); 0 when not initialized."""
+        m = self.atlas.get_current_map()
+        t0 = getattr(m, "imu_init_time", None)
+        f = self.tracker.current
+        if not getattr(m, "imu_initialized", False) or t0 is None or f is None:
+            return 0.0
+        return float(f.timestamp - t0)
+
+    def map_changed(self) -> bool:
+        """True once after every big map change — loop closure, merge, VI
+        re-scale (System::MapChanged role, tracked via the map change
+        index)."""
+        m = self.atlas.get_current_map()
+        cur = getattr(m, "change_idx", 0)
+        last = getattr(self, "_last_change_index", 0)
+        self._last_change_index = cur
+        return cur > last
 
     def get_tracked_map_points(self):
         f = self.tracker.current

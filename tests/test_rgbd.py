@@ -82,3 +82,35 @@ def test_depth_map_factor_scaling():
     good = (f1.depth > 0) & (f2.depth > 0)
     assert good.sum() > 200
     np.testing.assert_allclose(f1.depth[good], f2.depth[good], atol=2e-4)
+
+
+def test_rgbd_inertial_auto_init():
+    """IMU_RGBD configuration: depth-image frames + IMU samples through the
+    same auto-VI-initialization path as stereo-inertial
+    (System.h:87-94 IMU_RGBD; GrabImageRGBD + PreintegrateIMU)."""
+    from orbslam3_tpu.imu.preintegration import Calib
+    from orbslam3_tpu.utils.lie import SE3
+    from orbslam3_tpu.utils.synth import imu_samples_between
+
+    FPS = 20.0
+    camera = Pinhole([FX, FX, W / 2, H / 2])
+    frames = rgbd_sequence(40, camera, H, W, seed=1)
+    calib = Calib(Tbc=SE3(), noise_gyro=1e-4, noise_acc=1e-3,
+                  walk_gyro=1e-6, walk_acc=1e-5)
+    sysm = System(camera, VIRTUAL_BF, PyramidParams(n_features=900),
+                  sensor=System.IMU_RGBD, sequential=True, max_frames=5,
+                  imu_calib=calib)
+    est, gt = [], []
+    for k, (img, depth, tg) in enumerate(frames):
+        imu = imu_samples_between(k - 1, k, FPS) if k > 0 else None
+        pose = sysm.track_rgbd(img, depth, k / FPS, imu=imu)
+        assert pose is not None, f"lost at frame {k}"
+        est.append(pose)
+        gt.append(tg)
+    m = sysm.atlas.get_current_map()
+    assert m.imu_initialized, "IMU never initialized on the RGB-D map"
+    from orbslam3_tpu.utils.synth import ate_rmse
+
+    ate = ate_rmse(est, gt)
+    assert ate < 0.01, f"ATE {ate}"
+    assert sysm.tracker.current.velocity is not None
