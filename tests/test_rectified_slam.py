@@ -212,3 +212,69 @@ Tuning.voPointsInFinalVote: 1
         assert sysm.tracker.vo_points_in_final_vote is True
     finally:
         matchers.set_tuning(match_th=old_th, same_octave_first=old_oct)
+
+
+def test_rectified_inertial_tbc_rotation(tmp_path):
+    """IMU_STEREO + rectification: the camera frame rotates by R1, so Tbc
+    must follow (Settings.cc:496-501, Tbc_ = Tbc_ * T_r1_u1.inverse())."""
+    yaml_text = """%YAML:1.0
+---
+File.version: "1.0"
+Camera.type: "PinHole"
+Camera1.fx: 458.654
+Camera1.fy: 457.296
+Camera1.cx: 367.215
+Camera1.cy: 248.375
+Camera1.k1: -0.28340811
+Camera1.k2: 0.07395907
+Camera1.p1: 0.00019359
+Camera1.p2: 1.76187114e-05
+Camera2.fx: 457.587
+Camera2.fy: 456.134
+Camera2.cx: 379.999
+Camera2.cy: 255.238
+Camera2.k1: -0.28368365
+Camera2.k2: 0.07451284
+Camera2.p1: -0.00010473
+Camera2.p2: -3.55590700e-05
+Camera.width: 752
+Camera.height: 480
+Camera.fps: 20
+Stereo.ThDepth: 60.0
+Stereo.T_c1_c2: !!opencv-matrix
+  rows: 4
+  cols: 4
+  dt: f
+  data: [0.999997256477797,0.002312067192432,0.000376008102320,0.110074137800478,
+         -0.002317135723275,0.999898048507103,0.014089835846691,0.000399121547014,
+         -0.000343393120620,-0.014090668452683,0.999900662638081,-0.000853702503358,
+         0.0,0.0,0.0,1.0]
+IMU.NoiseGyro: 1.7e-4
+IMU.NoiseAcc: 2.0e-3
+IMU.GyroWalk: 1.9e-5
+IMU.AccWalk: 3.0e-3
+IMU.Frequency: 200
+IMU.T_b_c1: !!opencv-matrix
+  rows: 4
+  cols: 4
+  dt: f
+  data: [0.0148655429818, -0.999880929698, 0.00414029679422, -0.0216401454975,
+         0.999557249008, 0.0149672133247, 0.025715529948, -0.064676986768,
+         -0.0257744366974, 0.00375618835797, 0.999660727178, 0.00981073058949,
+         0.0, 0.0, 0.0, 1.0]
+"""
+    p = tmp_path / "EuRoC_VI.yaml"
+    p.write_text(yaml_text)
+    sysm = System.from_files(None, str(p), sensor="stereo_inertial")
+    assert sysm.rectifier is not None
+    # Tbc = Tbc_yaml * SE3(R1, 0)^-1
+    from orbslam3_tpu.utils.lie import SE3 as _SE3
+    from orbslam3_tpu.utils.settings import load_settings
+
+    st = load_settings(str(p), "stereo_inertial")
+    tbc_raw = _SE3.from_matrix(np.asarray(st.Tbc, np.float64))
+    expected = tbc_raw * _SE3(sysm.rectifier.R1, np.zeros(3)).inverse()
+    np.testing.assert_allclose(sysm.imu_calib.Tbc.R, expected.R, atol=1e-12)
+    np.testing.assert_allclose(sysm.imu_calib.Tbc.t, expected.t, atol=1e-12)
+    # still orthonormal, translation unchanged (pure rotation update)
+    np.testing.assert_allclose(sysm.imu_calib.Tbc.t, tbc_raw.t, atol=1e-12)
