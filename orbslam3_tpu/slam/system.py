@@ -506,13 +506,12 @@ class System:
 
     # --- control (System.h:125-135) ---------------------------------------
     def activate_localization_mode(self):
-        """Tracking-only: stop inserting keyframes / growing the map."""
-        self.tracker._need_new_keyframe_saved = self.tracker._need_new_keyframe
-        self.tracker._need_new_keyframe = lambda: False
+        """Tracking-only: stop inserting keyframes / growing the map
+        (System::ActivateLocalizationMode -> mbOnlyTracking)."""
+        self.tracker.only_tracking = True
 
     def deactivate_localization_mode(self):
-        if hasattr(self.tracker, "_need_new_keyframe_saved"):
-            self.tracker._need_new_keyframe = self.tracker._need_new_keyframe_saved
+        self.tracker.only_tracking = False
 
     def reset(self):
         """Full reset: fresh Atlas (System::Reset role).  In threaded mode

@@ -73,6 +73,9 @@ class Tracking:
         # tuned on the synthetic world, overridable via Settings Tuning.*
         self.mono_init_min_matches = 60       # reference: 100 (at 5x features)
         self.vo_points_in_final_vote = False  # reference keeps VO points
+        # localization-only mode (mbOnlyTracking role): no new keyframes,
+        # map frozen
+        self.only_tracking = False
         self.local_kfs: list[KeyFrame] = []
         self.local_mps: list[MapPoint] = []
         self.temporal_points: list[MapPoint] = []
@@ -97,6 +100,24 @@ class Tracking:
             return self._track_frame_locked(frame)
 
     def _track_frame_locked(self, frame: Frame) -> SE3 | None:
+        # timestamp-jump detection (Tracking3.cc:66-104): a frame older than
+        # its predecessor forks a fresh map; a >1 s gap on an inertial map
+        # resets/forks (the preintegration across the gap is garbage)
+        lf = self.last_frame
+        if self.state != TrackingState.NO_IMAGES_YET and lf is not None:
+            if frame.timestamp < lf.timestamp:
+                self._imu_meas_since_kf = []
+                self._fork_map()
+                return None
+            if frame.timestamp > lf.timestamp + 1.0 and self.imu_calib is not None:
+                m = self.atlas.get_current_map()
+                if getattr(m, "imu_initialized", False) and getattr(
+                    m, "iniertial_ba2", False
+                ):
+                    self._fork_map()
+                else:
+                    self._reset_active_map()
+                return None
         if self.state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED):
             if self.mbf > 0:
                 self._stereo_initialization(frame)
@@ -645,6 +666,8 @@ class Tracking:
 
     # --- keyframe policy ---------------------------------------------------
     def _need_new_keyframe(self) -> bool:
+        if self.only_tracking:
+            return False
         f = self.current
         m = self.atlas.get_current_map()
         n_kfs = m.n_keyframes()
@@ -775,6 +798,35 @@ class Tracking:
             self.state = TrackingState.OK
             self._imu_prior = None
         return ok
+
+    def _fork_map(self):
+        """CreateMapInAtlas role: fresh map, full tracker state reset."""
+        self.atlas.create_new_map()
+        self._fork_map_state_only()
+
+    def _reset_active_map(self):
+        """System::ResetActiveMap role: clear the current map's contents and
+        restart initialization in place (used on inertial timestamp jumps
+        before the map is fully VI-refined)."""
+        m = self.atlas.get_current_map()
+        for kf in m.get_all_keyframes():
+            kf.bad = True
+        for mp in m.get_all_map_points():
+            mp.bad = True
+        m.keyframes.clear()
+        m.map_points.clear()
+        m.imu_initialized = False
+        self._fork_map_state_only()
+
+    def _fork_map_state_only(self):
+        self.state = TrackingState.NOT_INITIALIZED
+        self.velocity = None
+        self.ref_kf = None
+        self.last_kf = None
+        self.last_frame = None
+        self._imu_meas_since_kf = []
+        self._ini_frame = None
+        self._imu_prior = None
 
     def _handle_lost(self):
         """Atlas elastic recovery: fork a fresh map (Tracking3.cc:263-281)."""

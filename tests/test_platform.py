@@ -234,3 +234,28 @@ def test_system_from_files_fisheye_inertial(tmp_path):
     assert abs(sysm.imu_calib.Tbc.t[0] - 0.04727988) < 1e-6
     assert sysm.tracker.imu_calib is sysm.imu_calib
     assert sysm.local_mapper.imu_calib is sysm.imu_calib
+
+
+def test_timestamp_jump_forks_map(small_image):
+    """Tracking3.cc:66-104 parity: an out-of-order timestamp forks a fresh
+    map instead of corrupting the current one."""
+    import numpy as np
+
+    from orbslam3_tpu.cameras.models import Pinhole
+    from orbslam3_tpu.oracle.orb_cpu import PyramidParams
+    from orbslam3_tpu.slam.system import System
+    from orbslam3_tpu.slam.tracking import TrackingState
+    from orbslam3_tpu.utils.synth import stereo_sequence
+
+    camera = Pinhole([250.0, 250.0, 160.0, 120.0])
+    frames = stereo_sequence(3, camera, 0.12, 240, 320, seed=4)
+    sysm = System(camera, 30.0, PyramidParams(n_features=600), sequential=True)
+    sysm.track_stereo(frames[0][0], frames[0][1], 0.0)
+    sysm.track_stereo(frames[1][0], frames[1][1], 0.05)
+    assert sysm.get_tracking_state() == TrackingState.OK
+    n_maps_before = sysm.atlas.count_maps()
+    # frame with an OLDER timestamp -> fork
+    pose = sysm.track_stereo(frames[2][0], frames[2][1], 0.01)
+    assert pose is None
+    assert sysm.atlas.count_maps() == n_maps_before + 1
+    assert sysm.get_tracking_state() == TrackingState.NOT_INITIALIZED
