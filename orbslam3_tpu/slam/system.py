@@ -239,6 +239,47 @@ class System:
         with trace_range("2_Track"):
             return self.tracker.track_frame(frame)
 
+    # --- frame pipelining (the reference's intended async design,
+    # src/ORBExtractorCUDA.cc:691-744, revived idiomatically: XLA dispatch
+    # is asynchronous, so extraction of frame N+1 runs on the TPU while the
+    # host tracks frame N) ------------------------------------------------
+    def prefetch_stereo(self, img_l: np.ndarray, img_r: np.ndarray):
+        """Dispatch the device front-end for a FUTURE frame without
+        blocking; returns an opaque handle for track_stereo_prefetched.
+        Not meaningful for the fisheye path (host-side kNN matching)."""
+        from orbslam3_tpu.frontend import stereo_frame as sf
+
+        img_l, img_r = self._preprocess_stereo(img_l, img_r)
+        pair = np.stack([img_l, img_r])
+        out = sf.extract_and_match_stereo(
+            pair, self.orb_params, self.mbf, float(self.camera.fx)
+        )
+        return (out, img_l.shape)
+
+    def track_stereo_prefetched(
+        self, handle, timestamp: float, imu: tuple | None = None
+    ):
+        """Consume a prefetch_stereo handle (synchronizes on the device
+        results, which by now overlapped with the previous frame's host
+        tracking) and run the tracker.  Equivalent to track_stereo."""
+        import jax
+
+        out, shape = handle
+        out = jax.tree.map(np.asarray, out)
+        valid = out.left.valid
+        feats = dict(
+            kps=out.left.xy[valid],
+            octave=out.left.octave[valid],
+            angle=out.left.angle[valid],
+            response=out.left.response[valid],
+            desc=out.left.desc[valid],
+            u_right=out.u_right[valid],
+            depth=out.depth[valid],
+        )
+        return self.track_stereo_features(
+            feats, timestamp, (0, 0, shape[1], shape[0]), imu=imu
+        )
+
     def track_rgbd(
         self,
         img: np.ndarray,
@@ -360,7 +401,8 @@ class System:
             frame.imu_preint = self._preintegrate(imu)
         return self.tracker.track_frame(frame)
 
-    def track_stereo_features(self, feats: dict, timestamp: float, bounds):
+    def track_stereo_features(self, feats: dict, timestamp: float, bounds,
+                              imu: tuple | None = None):
         """Entry point when features come precomputed (batch device runs)."""
         frame = Frame(
             kps=feats["kps"],
@@ -380,6 +422,8 @@ class System:
             frame.bow_vec, frame.feat_vec = self.vocabulary.transform(frame.desc)
         else:
             frame.feat_vec = None
+        if imu is not None:
+            frame.imu_preint = self._preintegrate(imu)
         return self.tracker.track_frame(frame)
 
     # ------------------------------------------------------------------

@@ -259,3 +259,33 @@ def test_timestamp_jump_forks_map(small_image):
     assert pose is None
     assert sysm.atlas.count_maps() == n_maps_before + 1
     assert sysm.get_tracking_state() == TrackingState.NOT_INITIALIZED
+
+
+def test_prefetch_pipeline_matches_synchronous(small_image):
+    """prefetch_stereo + track_stereo_prefetched == track_stereo (the async
+    frame-pipelining path, ORBExtractorCUDA.cc:691-744 design revived)."""
+    import numpy as np
+
+    from orbslam3_tpu.cameras.models import Pinhole
+    from orbslam3_tpu.oracle.orb_cpu import PyramidParams
+    from orbslam3_tpu.slam.system import System
+    from orbslam3_tpu.utils.synth import stereo_sequence
+
+    camera = Pinhole([250.0, 250.0, 160.0, 120.0])
+    frames = stereo_sequence(4, camera, 0.12, 240, 320, seed=5)
+    s_sync = System(camera, 30.0, PyramidParams(n_features=600), sequential=True)
+    s_pipe = System(camera, 30.0, PyramidParams(n_features=600), sequential=True)
+    poses_sync = [s_sync.track_stereo(il, ir, k / 20.0)
+                  for k, (il, ir, _) in enumerate(frames)]
+    # pipelined drive: prefetch N+1 before consuming N
+    handles = [s_pipe.prefetch_stereo(frames[0][0], frames[0][1])]
+    poses_pipe = []
+    for k in range(len(frames)):
+        if k + 1 < len(frames):
+            handles.append(s_pipe.prefetch_stereo(frames[k + 1][0], frames[k + 1][1]))
+        poses_pipe.append(s_pipe.track_stereo_prefetched(handles[k], k / 20.0))
+    for a, b in zip(poses_sync, poses_pipe):
+        assert (a is None) == (b is None)
+        if a is not None:
+            np.testing.assert_allclose(a.t, b.t, atol=1e-12)
+            np.testing.assert_allclose(a.R, b.R, atol=1e-12)
