@@ -62,6 +62,25 @@ def _load():
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
         ctypes.POINTER(ctypes.c_int32),
     ]
+    lib.project_match_local.restype = ctypes.c_int
+    lib.project_match_local.argtypes = [
+        ctypes.POINTER(ctypes.c_float),    # proj (M, 5)
+        ctypes.POINTER(ctypes.c_uint8),    # mp_desc (M, 32)
+        ctypes.POINTER(ctypes.c_uint8),    # mp_obs (M,)
+        ctypes.c_int,                      # m
+        ctypes.POINTER(ctypes.c_float),    # kp_xy (K, 2)
+        ctypes.POINTER(ctypes.c_int32),    # kp_level (K,)
+        ctypes.POINTER(ctypes.c_uint8),    # kp_desc (K, 32)
+        ctypes.POINTER(ctypes.c_float),    # kp_ur (K,)
+        ctypes.POINTER(ctypes.c_uint8),    # occupied (K,) in/out
+        ctypes.c_int,                      # k
+        ctypes.POINTER(ctypes.c_float),    # scale_factors
+        ctypes.c_int,                      # n_levels
+        ctypes.c_float, ctypes.c_float, ctypes.c_int,   # th, ratio, match_th
+        ctypes.c_float, ctypes.c_float,    # min_x, min_y
+        ctypes.c_float, ctypes.c_float,    # grid_w, grid_h
+        ctypes.POINTER(ctypes.c_int32),    # out_idx (M,)
+    ]
     _lib = lib
     return lib
 
@@ -150,3 +169,42 @@ def hamming_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     from orbslam3_tpu.slam.matchers import hamming_matrix_np
 
     return hamming_matrix_np(a, b)
+
+
+def project_match_local(proj, mp_desc, mp_obs, kp_xy, kp_level, kp_desc,
+                        kp_ur, occupied, scale_factors, th, ratio, match_th,
+                        min_x, min_y, grid_w, grid_h):
+    """Native TrackLocalMap projection matcher (see orbslam3_native.cpp).
+
+    Returns (out_idx (M,) int32 frame slot or -1, n_matched) and mutates
+    `occupied` in place.  None when the native lib is unavailable (caller
+    falls back to the Python walk)."""
+    lib = _load()
+    if lib is None:
+        return None
+    proj = np.ascontiguousarray(proj, np.float32)
+    mp_desc = np.ascontiguousarray(mp_desc, np.uint8)
+    mp_obs = np.ascontiguousarray(mp_obs, np.uint8)
+    kp_xy = np.ascontiguousarray(kp_xy, np.float32)
+    kp_level = np.ascontiguousarray(kp_level, np.int32)
+    kp_desc = np.ascontiguousarray(kp_desc, np.uint8)
+    kp_ur = np.ascontiguousarray(kp_ur, np.float32)
+    occupied = np.ascontiguousarray(occupied, np.uint8)
+    sf = np.ascontiguousarray(scale_factors, np.float32)
+    m = len(proj)
+    out = np.empty(m, np.int32)
+    n = lib.project_match_local(
+        proj.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        mp_desc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        mp_obs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), m,
+        kp_xy.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        kp_level.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        kp_desc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        kp_ur.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        occupied.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(kp_xy),
+        sf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(sf),
+        float(th), float(ratio), int(match_th),
+        float(min_x), float(min_y), float(grid_w), float(grid_h),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return out, n

@@ -211,4 +211,87 @@ void hamming_matrix(const uint8_t* a, int na, const uint8_t* b, int nb,
   }
 }
 
+// ---------------------------------------------------------------------------
+// TrackLocalMap projection matcher (the host tracking loop's hottest inner
+// loop; mirrors slam/matchers.search_by_projection_local_map bit-for-bit:
+// same 64x48 grid walk order, same two-best same-level nn-ratio logic, same
+// sequential slot-occupancy semantics).
+// ---------------------------------------------------------------------------
+
+int project_match_local(
+    const float* proj,        // (M, 5): u, v, ur, level, view_cos
+    const uint8_t* mp_desc,   // (M, 32)
+    const uint8_t* mp_obs,    // (M,) 1 if the map point has observations
+    int m,
+    const float* kp_xy,       // (K, 2) undistorted
+    const int32_t* kp_level,  // (K,)
+    const uint8_t* kp_desc,   // (K, 32)
+    const float* kp_ur,       // (K,)
+    uint8_t* occupied,        // (K,) in/out: 1 = slot holds a tracked point
+    int k,
+    const float* scale_factors, int n_levels,
+    float th, float ratio, int match_th,
+    float min_x, float min_y, float grid_w, float grid_h,
+    int32_t* out_idx          // (M,) matched frame slot or -1
+) {
+  constexpr int GRID_COLS = 64, GRID_ROWS = 48;
+  // build the cell buckets exactly as Frame._build_grid (stable by index)
+  std::vector<std::vector<int>> cells(GRID_COLS * GRID_ROWS);
+  for (int i = 0; i < k; ++i) {
+    int cx = int((kp_xy[2 * i] - min_x) / grid_w);
+    int cy = int((kp_xy[2 * i + 1] - min_y) / grid_h);
+    if (cx >= 0 && cx < GRID_COLS && cy >= 0 && cy < GRID_ROWS)
+      cells[cy * GRID_COLS + cx].push_back(i);
+  }
+  const uint64_t* kd64 = reinterpret_cast<const uint64_t*>(kp_desc);
+  const uint64_t* md64 = reinterpret_cast<const uint64_t*>(mp_desc);
+  int n_matched = 0;
+  for (int p = 0; p < m; ++p) {
+    out_idx[p] = -1;
+    const float u = proj[5 * p], v = proj[5 * p + 1], ur = proj[5 * p + 2];
+    const int level = int(proj[5 * p + 3]);
+    const float view_cos = proj[5 * p + 4];
+    float r = (view_cos > 0.998f) ? 2.5f : 4.0f;
+    r *= th * scale_factors[level];
+    const int min_level = level - 1, max_level = level;
+    int cx0 = std::max(0, int((u - min_x - r) / grid_w));
+    int cx1 = std::min(GRID_COLS - 1, int((u - min_x + r) / grid_w));
+    int cy0 = std::max(0, int((v - min_y - r) / grid_h));
+    int cy1 = std::min(GRID_ROWS - 1, int((v - min_y + r) / grid_h));
+    if (cx1 < cx0 || cy1 < cy0) continue;
+    const uint64_t* dp = md64 + 4 * p;
+    int best = 256, best2 = 256, best_i = -1, best_lvl = -1, best2_lvl = -1;
+    for (int cy = cy0; cy <= cy1; ++cy)
+      for (int cx = cx0; cx <= cx1; ++cx)
+        for (int i : cells[cy * GRID_COLS + cx]) {
+          if (std::fabs(kp_xy[2 * i] - u) >= r) continue;
+          if (std::fabs(kp_xy[2 * i + 1] - v) >= r) continue;
+          const int lv = kp_level[i];
+          if (min_level >= 0 && lv < min_level) continue;
+          if (max_level >= 0 && lv > max_level) continue;
+          if (occupied[i]) continue;
+          if (kp_ur[i] >= 0 && ur >= 0 && std::fabs(ur - kp_ur[i]) > r)
+            continue;
+          const uint64_t* di = kd64 + 4 * i;
+          const int d = __builtin_popcountll(dp[0] ^ di[0]) +
+                        __builtin_popcountll(dp[1] ^ di[1]) +
+                        __builtin_popcountll(dp[2] ^ di[2]) +
+                        __builtin_popcountll(dp[3] ^ di[3]);
+          if (d < best) {
+            best2 = best; best2_lvl = best_lvl;
+            best = d; best_i = i; best_lvl = lv;
+          } else if (d < best2) {
+            best2 = d; best2_lvl = lv;
+          }
+        }
+    if (best <= match_th && best_i >= 0) {
+      if (best_lvl == best2_lvl && float(best) > ratio * float(best2)) continue;
+      out_idx[p] = best_i;
+      if (mp_obs[p]) occupied[best_i] = 1;
+      ++n_matched;
+    }
+  }
+  return n_matched;
+}
+
 }  // extern "C"

@@ -121,3 +121,79 @@ def test_device_local_map_matcher_parity():
     )
     assert agree >= 0.97 * n_kps, (agree, n_kps, n_host, n_dev)
     assert abs(n_dev - n_host) <= 0.05 * n_host
+
+
+def test_native_local_map_matcher_parity_and_speed():
+    """The native C++ TrackLocalMap matcher produces IDENTICAL assignments
+    to the Python walk (same grid order, gates, occupancy semantics) and is
+    much faster."""
+    import time
+
+    import numpy as np
+
+    from orbslam3_tpu import native
+    from orbslam3_tpu.cameras.models import Pinhole
+    from orbslam3_tpu.slam import matchers
+    from orbslam3_tpu.slam.frame import Frame
+    from orbslam3_tpu.slam.map_point import MapPoint
+    from orbslam3_tpu.utils.lie import SE3
+
+    assert native.available(), "native lib must build in this environment"
+
+    rng = np.random.default_rng(7)
+    cam = Pinhole([400.0, 400.0, 320.0, 240.0])
+    scales = 1.2 ** np.arange(8)
+    n_mps, n_kps = 1500, 900
+    pts = rng.uniform(-1, 1, (n_mps, 3)) * [4, 3, 2] + [0, 0, 8]
+    descs = rng.integers(0, 256, (n_mps, 32)).astype(np.uint8)
+    uv_vis = cam.project(pts[: n_kps // 2]) + rng.normal(0, 0.4, (n_kps // 2, 2))
+    uv = np.concatenate(
+        [uv_vis, rng.uniform([0, 0], [640, 480], (n_kps - n_kps // 2, 2))]
+    )
+    kp_desc = np.concatenate(
+        [descs[: n_kps // 2],
+         rng.integers(0, 256, (n_kps - n_kps // 2, 32)).astype(np.uint8)]
+    )
+    levels = rng.integers(0, 3, n_kps).astype(np.int32)
+
+    def make_frame():
+        f = Frame(kps=uv, octave=levels, angle=np.zeros(n_kps, np.float32),
+                  response=np.ones(n_kps, np.float32), desc=kp_desc,
+                  camera=cam, scale_factors=scales, mbf=0.0)
+        f.set_image_bounds(0, 0, 640, 480)
+        f.set_pose(SE3())
+        return f
+
+    mps = []
+    for k in range(n_mps):
+        mp = MapPoint(pts[k], None, None)
+        mp.descriptor = descs[k]
+        proj = cam.project(pts[k][None])[0]
+        mp.track_in_view = bool(0 <= proj[0] < 640 and 0 <= proj[1] < 480)
+        lvl = int(rng.integers(0, 3))
+        mp.track_proj = (proj[0], proj[1], -1.0, lvl, float(rng.uniform(0.9, 1.0)))
+        mps.append(mp)
+
+    f_native = make_frame()
+    t0 = time.perf_counter()
+    n_native = matchers.search_by_projection_local_map(f_native, mps, th=2.0)
+    t_native = time.perf_counter() - t0
+
+    # force the Python path by hiding the native lib
+    f_py = make_frame()
+    lib_save = native._lib
+    avail_save = native.available
+    try:
+        native._lib = None
+        native.available = lambda: False
+        t0 = time.perf_counter()
+        n_py = matchers.search_by_projection_local_map(f_py, mps, th=2.0)
+        t_py = time.perf_counter() - t0
+    finally:
+        native._lib = lib_save
+        native.available = avail_save
+
+    assert n_native == n_py and n_native > 200, (n_native, n_py)
+    for a, b in zip(f_native.map_points, f_py.map_points):
+        assert a is b, "assignment mismatch between native and Python walks"
+    assert t_native < t_py / 5, (t_native, t_py)
