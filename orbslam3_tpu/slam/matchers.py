@@ -152,12 +152,14 @@ def search_by_projection_local_map(frame, map_points, th: float = 1.0, ratio: fl
 
 
 # Candidate count above which the dense device matcher beats the host
-# grid-walk for TrackLocalMap.  Measured by bench_matchers.py on this
-# environment (v5e behind the ~45 ms axon relay):
-#   500 mps: host 79 ms / device 156 ms; 2000: host 173 / device 190;
-#   10000: host 812 / device 228.  Crossover ~3k here; on a directly
-# attached chip (sub-ms dispatch) the device path wins from well under 2k.
-DEVICE_MATCH_MIN = 4000
+# matcher for TrackLocalMap.  With the native C++ grid-walk
+# (native/orbslam3_native.cpp project_match_local) the host runs 1.1 ms at
+# 500 candidates / 2.6 ms at 2000 / 13 ms at 10000 (bench_matchers.py),
+# while the device column carries this environment's ~45 ms relay tax
+# (152-230 ms measured) — host wins at every realistic size here.  On a
+# directly-attached chip subtract the relay: the device path breaks even
+# around ~30k candidates, hence the threshold.
+DEVICE_MATCH_MIN = 30000
 
 
 def search_by_projection_local_map_device(frame, map_points, th: float = 1.0,
