@@ -81,6 +81,38 @@ def _load():
         ctypes.c_float, ctypes.c_float,    # grid_w, grid_h
         ctypes.POINTER(ctypes.c_int32),    # out_idx (M,)
     ]
+    lib.project_match_last.restype = ctypes.c_int
+    lib.project_match_last.argtypes = [
+        ctypes.POINTER(ctypes.c_double),   # pw (M, 3)
+        ctypes.POINTER(ctypes.c_uint8),    # mp_desc
+        ctypes.POINTER(ctypes.c_int32),    # mp_oct
+        ctypes.POINTER(ctypes.c_uint8),    # mp_valid
+        ctypes.POINTER(ctypes.c_uint8),    # mp_obs
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double,                   # mbf
+        ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.c_float, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.pose_optimize.restype = ctypes.c_int
+    lib.pose_optimize.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int, ctypes.c_int,
+    ]
     _lib = lib
     return lib
 
@@ -205,6 +237,87 @@ def project_match_local(proj, mp_desc, mp_obs, kp_xy, kp_level, kp_desc,
         sf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(sf),
         float(th), float(ratio), int(match_th),
         float(min_x), float(min_y), float(grid_w), float(grid_h),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return out, n
+
+
+def pose_optimize(pw, uv, ur, inv_sigma2, fx, fy, cx, cy, mbf, R, t,
+                  n_rounds=4, n_iters=10):
+    """Native motion-only pose optimization (see orbslam3_native.cpp).
+
+    Returns (R (3,3), t (3,), inlier (n,) bool, n_inliers) or None when the
+    native lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    pw = np.ascontiguousarray(pw, np.float64)
+    uv = np.ascontiguousarray(uv, np.float64)
+    ur = np.ascontiguousarray(ur, np.float64)
+    is2 = np.ascontiguousarray(inv_sigma2, np.float64)
+    Rb = np.ascontiguousarray(R, np.float64).copy()
+    tb = np.ascontiguousarray(t, np.float64).copy()
+    n = len(pw)
+    inlier = np.empty(n, np.uint8)
+    n_in = lib.pose_optimize(
+        pw.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        uv.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ur.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        is2.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n,
+        float(fx), float(fy), float(cx), float(cy), float(mbf),
+        Rb.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        tb.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        inlier.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        int(n_rounds), int(n_iters),
+    )
+    return Rb, tb, inlier.astype(bool), int(n_in)
+
+
+def project_match_last(pw, mp_desc, mp_oct, mp_valid, mp_obs,
+                       Rcw, tcw, fx, fy, cx, cy, mbf,
+                       min_x, max_x, min_y, max_y,
+                       kp_xy, kp_level, kp_desc, kp_ur, occupied,
+                       scale_factors, th, match_th, same_octave_first,
+                       forward, backward, grid_min_x, grid_min_y,
+                       grid_w, grid_h):
+    """Native motion-model matcher; returns (out_idx (M,) int32, n) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    pw = np.ascontiguousarray(pw, np.float64)
+    mp_desc = np.ascontiguousarray(mp_desc, np.uint8)
+    mp_oct = np.ascontiguousarray(mp_oct, np.int32)
+    mp_valid = np.ascontiguousarray(mp_valid, np.uint8)
+    mp_obs = np.ascontiguousarray(mp_obs, np.uint8)
+    Rcw = np.ascontiguousarray(Rcw, np.float64)
+    tcw = np.ascontiguousarray(tcw, np.float64)
+    kp_xy = np.ascontiguousarray(kp_xy, np.float32)
+    kp_level = np.ascontiguousarray(kp_level, np.int32)
+    kp_desc = np.ascontiguousarray(kp_desc, np.uint8)
+    kp_ur = np.ascontiguousarray(kp_ur, np.float32)
+    occupied = np.ascontiguousarray(occupied, np.uint8)
+    sf = np.ascontiguousarray(scale_factors, np.float32)
+    m = len(pw)
+    out = np.empty(m, np.int32)
+    n = lib.project_match_last(
+        pw.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        mp_desc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        mp_oct.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        mp_valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        mp_obs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), m,
+        Rcw.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        tcw.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        float(fx), float(fy), float(cx), float(cy), float(mbf),
+        float(min_x), float(max_x), float(min_y), float(max_y),
+        kp_xy.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        kp_level.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        kp_desc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        kp_ur.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        occupied.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(kp_xy),
+        sf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(sf),
+        float(th), int(match_th), int(same_octave_first),
+        int(forward), int(backward),
+        float(grid_min_x), float(grid_min_y), float(grid_w), float(grid_h),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     return out, n

@@ -294,4 +294,391 @@ int project_match_local(
   return n_matched;
 }
 
+// ---------------------------------------------------------------------------
+// Motion-model projection matcher (SearchByProjection last-frame overload;
+// mirrors slam/matchers.search_by_projection_last_frame's gates and walk
+// order; the rotation-consistency histogram stays in Python on the
+// returned pairs).  Pinhole cameras only.
+// ---------------------------------------------------------------------------
+
+int project_match_last(
+    const double* pw,         // (M, 3) world positions of last-frame points
+    const uint8_t* mp_desc,   // (M, 32)
+    const int32_t* mp_oct,    // (M,) last-frame keypoint octave
+    const uint8_t* mp_valid,  // (M,) 1 = has map point, not bad/outlier
+    const uint8_t* mp_obs,    // (M,) 1 = n_obs > 0
+    int m,
+    const double* Rcw, const double* tcw,   // current pose
+    double fx, double fy, double cx, double cy, double mbf,
+    double min_x, double max_x, double min_y, double max_y,
+    const float* kp_xy, const int32_t* kp_level, const uint8_t* kp_desc,
+    const float* kp_ur, uint8_t* occupied, int k,
+    const float* scale_factors, int n_levels,
+    float th, int match_th, int same_octave_first,
+    int forward, int backward,
+    float grid_min_x, float grid_min_y, float grid_w, float grid_h,
+    int32_t* out_idx          // (M,) matched cur slot or -1
+) {
+  constexpr int GRID_COLS = 64, GRID_ROWS = 48;
+  std::vector<std::vector<int>> cells(GRID_COLS * GRID_ROWS);
+  for (int i = 0; i < k; ++i) {
+    int cx_ = int((kp_xy[2 * i] - grid_min_x) / grid_w);
+    int cy_ = int((kp_xy[2 * i + 1] - grid_min_y) / grid_h);
+    if (cx_ >= 0 && cx_ < GRID_COLS && cy_ >= 0 && cy_ < GRID_ROWS)
+      cells[cy_ * GRID_COLS + cx_].push_back(i);
+  }
+  const uint64_t* kd64 = reinterpret_cast<const uint64_t*>(kp_desc);
+  const uint64_t* md64 = reinterpret_cast<const uint64_t*>(mp_desc);
+
+  // returns whether any candidate passed the POSITION+LEVEL filters (the
+  // Python widens on raw window emptiness, before the occupancy/ur gates)
+  auto window = [&](double u, double v, float r, int min_lv, int max_lv,
+                    double ur_pred, const uint64_t* dp,
+                    int* best_out, int* bestd_out) -> bool {
+    int cx0 = std::max(0, int((u - grid_min_x - r) / grid_w));
+    int cx1 = std::min(GRID_COLS - 1, int((u - grid_min_x + r) / grid_w));
+    int cy0 = std::max(0, int((v - grid_min_y - r) / grid_h));
+    int cy1 = std::min(GRID_ROWS - 1, int((v - grid_min_y + r) / grid_h));
+    int best = 256, best_i = -1;
+    bool any = false;
+    *best_out = -1; *bestd_out = 256;
+    if (cx1 < cx0 || cy1 < cy0) return false;
+    for (int cy_ = cy0; cy_ <= cy1; ++cy_)
+      for (int cx_ = cx0; cx_ <= cx1; ++cx_)
+        for (int i : cells[cy_ * GRID_COLS + cx_]) {
+          if (std::fabs(kp_xy[2 * i] - u) >= r) continue;
+          if (std::fabs(kp_xy[2 * i + 1] - v) >= r) continue;
+          const int lv = kp_level[i];
+          if (min_lv >= 0 && lv < min_lv) continue;
+          if (max_lv >= 0 && lv > max_lv) continue;
+          any = true;
+          if (occupied[i]) continue;
+          if (kp_ur[i] >= 0 && ur_pred >= 0 &&
+              std::fabs(ur_pred - kp_ur[i]) > r)
+            continue;
+          const uint64_t* di = kd64 + 4 * i;
+          const int d = __builtin_popcountll(dp[0] ^ di[0]) +
+                        __builtin_popcountll(dp[1] ^ di[1]) +
+                        __builtin_popcountll(dp[2] ^ di[2]) +
+                        __builtin_popcountll(dp[3] ^ di[3]);
+          if (d < best) { best = d; best_i = i; }
+        }
+    *best_out = best_i;
+    *bestd_out = best;
+    return any;
+  };
+
+  int n_matched = 0;
+  for (int p = 0; p < m; ++p) {
+    out_idx[p] = -1;
+    if (!mp_valid[p]) continue;
+    const double* q = pw + 3 * p;
+    const double x = Rcw[0]*q[0] + Rcw[1]*q[1] + Rcw[2]*q[2] + tcw[0];
+    const double y = Rcw[3]*q[0] + Rcw[4]*q[1] + Rcw[5]*q[2] + tcw[1];
+    const double z = Rcw[6]*q[0] + Rcw[7]*q[1] + Rcw[8]*q[2] + tcw[2];
+    if (z < 0) continue;
+    const double u = fx * x / z + cx;
+    const double v = fy * y / z + cy;
+    if (!(min_x < u && u < max_x && min_y < v && v < max_y)) continue;
+    const int last_oct = mp_oct[p];
+    const float r = th * scale_factors[last_oct];
+    const double ur_pred = mbf > 0 ? u - mbf / z : -1.0;
+    const uint64_t* dp = md64 + 4 * p;
+    int best_i = -1, best = 256;
+    bool any = false;
+    if (same_octave_first)
+      any = window(u, v, r, last_oct, last_oct, ur_pred, dp, &best_i, &best);
+    if (!any) {
+      if (forward)
+        window(u, v, r, last_oct, -1, ur_pred, dp, &best_i, &best);
+      else if (backward)
+        window(u, v, r, 0, last_oct, ur_pred, dp, &best_i, &best);
+      else
+        window(u, v, r, last_oct - 1, last_oct + 1, ur_pred, dp, &best_i, &best);
+    }
+    if (best <= match_th && best_i >= 0) {
+      out_idx[p] = best_i;
+      if (mp_obs[p]) occupied[best_i] = 1;
+      ++n_matched;
+    }
+  }
+  return n_matched;
+}
+
+// ---------------------------------------------------------------------------
+// Motion-only pose optimization (PoseOptimization role): a faithful C++
+// port of optim/pose_optimization.py's vectorized LM — same annealed Huber
+// schedule, same trial-step loop, same chi2 reclassification — for the
+// pinhole camera.  Runs every frame (twice), so the Python/NumPy overhead
+// (~46 ms/call at 600 points) mattered; this runs in <1 ms.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+void so3_exp_(const double w[3], double R[9]) {
+  const double th2 = w[0]*w[0] + w[1]*w[1] + w[2]*w[2];
+  const double th = std::sqrt(th2);
+  double a, b;
+  if (th < 1e-10) { a = 1.0 - th2 / 6.0; b = 0.5 - th2 / 24.0; }
+  else { a = std::sin(th) / th; b = (1.0 - std::cos(th)) / th2; }
+  const double K[9] = {0, -w[2], w[1], w[2], 0, -w[0], -w[1], w[0], 0};
+  double K2[9];
+  for (int i = 0; i < 3; ++i)
+    for (int j = 0; j < 3; ++j) {
+      double acc = 0;
+      for (int k = 0; k < 3; ++k) acc += K[3*i+k] * K[3*k+j];
+      K2[3*i+j] = acc;
+    }
+  for (int i = 0; i < 9; ++i)
+    R[i] = (i % 4 == 0 ? 1.0 : 0.0) + a * K[i] + b * K2[i];
+}
+
+void se3_exp_(const double xi[6], double R[9], double t[3]) {
+  // matches utils/lie.SE3.exp: xi = [rho(3), phi(3)], t = V(phi) rho
+  const double* rho = xi;
+  const double* phi = xi + 3;
+  so3_exp_(phi, R);
+  const double th2 = phi[0]*phi[0] + phi[1]*phi[1] + phi[2]*phi[2];
+  const double th = std::sqrt(th2);
+  double b, c;
+  if (th < 1e-10) { b = 0.5 - th2 / 24.0; c = 1.0/6.0 - th2 / 120.0; }
+  else { b = (1.0 - std::cos(th)) / th2; c = (th - std::sin(th)) / (th2 * th); }
+  const double K[9] = {0, -phi[2], phi[1], phi[2], 0, -phi[0], -phi[1], phi[0], 0};
+  double K2[9];
+  for (int i = 0; i < 3; ++i)
+    for (int j = 0; j < 3; ++j) {
+      double acc = 0;
+      for (int k = 0; k < 3; ++k) acc += K[3*i+k] * K[3*k+j];
+      K2[3*i+j] = acc;
+    }
+  double V[9];
+  for (int i = 0; i < 9; ++i)
+    V[i] = (i % 4 == 0 ? 1.0 : 0.0) + b * K[i] + c * K2[i];
+  for (int i = 0; i < 3; ++i)
+    t[i] = V[3*i] * rho[0] + V[3*i+1] * rho[1] + V[3*i+2] * rho[2];
+}
+
+struct PoseObs {
+  const double* pw;        // (n, 3)
+  const double* uv;        // (n, 2)
+  const double* ur;        // (n,)
+  const double* is2;       // (n,)
+  int n;
+  double fx, fy, cx, cy, mbf;
+};
+
+// residual rows [du, dv, dur] and (optionally) Jacobian rows for pose (R, t)
+inline void residual_row(const PoseObs& o, const double R[9], const double t[3],
+                         int i, double res[3], bool* stereo) {
+  const double* p = o.pw + 3 * i;
+  const double x = R[0]*p[0] + R[1]*p[1] + R[2]*p[2] + t[0];
+  const double y = R[3]*p[0] + R[4]*p[1] + R[5]*p[2] + t[1];
+  const double z = R[6]*p[0] + R[7]*p[1] + R[8]*p[2] + t[2];
+  const double u = o.fx * x / z + o.cx;
+  const double v = o.fy * y / z + o.cy;
+  res[0] = o.uv[2*i] - u;
+  res[1] = o.uv[2*i+1] - v;
+  const bool st = o.ur[i] >= 0;
+  *stereo = st;
+  res[2] = st ? (o.ur[i] - (u - o.mbf / std::max(z, 1e-9))) : 0.0;
+}
+
+inline double chi2_row(const double res[3], double is2, bool stereo) {
+  double e2 = res[0]*res[0] + res[1]*res[1];
+  if (stereo) e2 += res[2]*res[2];
+  return e2 * is2;
+}
+
+double robust_cost(const PoseObs& o, const double R[9], const double t[3],
+                   const uint8_t* inlier, double delta_m, double delta_s,
+                   bool use_huber) {
+  double total = 0;
+  for (int i = 0; i < o.n; ++i) {
+    if (!inlier[i]) continue;
+    double res[3]; bool st;
+    residual_row(o, R, t, i, res, &st);
+    const double c2 = chi2_row(res, o.is2[i], st);
+    if (use_huber) {
+      const double delta = st ? delta_s : delta_m;
+      const double e = std::sqrt(std::max(c2, 0.0));
+      total += (e <= delta) ? c2 : (2 * delta * e - delta * delta);
+    } else {
+      total += c2;
+    }
+  }
+  return total;
+}
+
+}  // namespace
+
+int pose_optimize(const double* pw, const double* uv, const double* ur,
+                  const double* is2, int n,
+                  double fx, double fy, double cx, double cy, double mbf,
+                  double* Rio, double* tio,   // in/out pose (row-major R, t)
+                  uint8_t* inlier,            // (n,) out
+                  int n_rounds, int n_iters) {
+  const double CHI2_M = 5.991, CHI2_S = 7.815;
+  const double DELTA_SCALE[4] = {3.0, 1.5, 1.0, 1.0};
+  const double CHI2_SCALE[4] = {6.0, 2.5, 1.0, 1.0};
+  PoseObs o{pw, uv, ur, is2, n, fx, fy, cx, cy, mbf};
+  double R[9], t[3];
+  std::copy(Rio, Rio + 9, R);
+  std::copy(tio, tio + 3, t);
+  for (int i = 0; i < n; ++i) inlier[i] = 1;
+
+  for (int rnd = 0; rnd < n_rounds; ++rnd) {
+    const bool use_huber = rnd < 3;
+    const int sidx = std::min(rnd, 3);
+    const double delta_m = std::sqrt(CHI2_M) * DELTA_SCALE[sidx];
+    const double delta_s = std::sqrt(CHI2_S) * DELTA_SCALE[sidx];
+    double lam = 1e-4;
+    double Rr[9], tr[3];
+    std::copy(R, R + 9, Rr);
+    std::copy(t, t + 3, tr);
+    double cost_prev = robust_cost(o, Rr, tr, inlier, delta_m, delta_s, use_huber);
+    for (int it = 0; it < n_iters; ++it) {
+      // assemble normal equations with IRLS weights
+      double H[36] = {0}, b[6] = {0};
+      for (int i = 0; i < n; ++i) {
+        if (!inlier[i]) continue;
+        const double* p = pw + 3 * i;
+        const double x = Rr[0]*p[0] + Rr[1]*p[1] + Rr[2]*p[2] + tr[0];
+        const double y = Rr[3]*p[0] + Rr[4]*p[1] + Rr[5]*p[2] + tr[1];
+        const double z = Rr[6]*p[0] + Rr[7]*p[1] + Rr[8]*p[2] + tr[2];
+        const double zi = 1.0 / z;
+        const double u = fx * x * zi + cx;
+        const double v = fy * y * zi + cy;
+        double res[3];
+        res[0] = uv[2*i] - u;
+        res[1] = uv[2*i+1] - v;
+        const bool st = ur[i] >= 0;
+        res[2] = st ? (ur[i] - (u - mbf / std::max(z, 1e-9))) : 0.0;
+        const double c2 = chi2_row(res, is2[i], st);
+        double w = is2[i];
+        if (use_huber) {
+          const double delta = st ? delta_s : delta_m;
+          const double e = std::sqrt(std::max(c2, 1e-18));
+          if (e > delta) w *= delta / e;
+        }
+        // Jacobian rows: d res / d xi = -(jproj @ [I | -hat(pc)])
+        // jproj (2x3) for pinhole
+        const double zi2 = zi * zi;
+        const double jp[6] = {fx * zi, 0.0, -fx * x * zi2,
+                              0.0, fy * zi, -fy * y * zi2};
+        // dpc/dxi = [I | -hat(pc)]  -> columns: t(3), phi(3)
+        // hat(pc) = [[0,-z,y],[z,0,-x],[-y,x,0]]
+        double J[18];  // (3 rows, 6 cols), including stereo row
+        for (int rrow = 0; rrow < 2; ++rrow) {
+          const double* g = jp + 3 * rrow;
+          J[6*rrow + 0] = g[0];
+          J[6*rrow + 1] = g[1];
+          J[6*rrow + 2] = g[2];
+          // -hat(pc) columns: phi part = g . d(pc)/d(phi_k)
+          J[6*rrow + 3] = g[1] * (-z) + g[2] * (y);
+          J[6*rrow + 4] = g[0] * (z) + g[2] * (-x);
+          J[6*rrow + 5] = g[0] * (-y) + g[1] * (x);
+        }
+        if (st) {
+          const double mz2 = mbf * zi2;
+          // j_ur = j_u + mbf/z^2 * dz_dxi  where dz_dxi = row 2 of [I|-hat]
+          const double dz[6] = {0, 0, 1, y, -x, 0};
+          for (int c_ = 0; c_ < 6; ++c_)
+            J[12 + c_] = J[c_] + mz2 * dz[c_];
+        } else {
+          for (int c_ = 0; c_ < 6; ++c_) J[12 + c_] = 0.0;
+        }
+        // negate (res = obs - pred convention)
+        const int nrows = 3;
+        for (int rrow = 0; rrow < nrows; ++rrow)
+          for (int c_ = 0; c_ < 6; ++c_) J[6*rrow + c_] = -J[6*rrow + c_];
+        for (int rrow = 0; rrow < nrows; ++rrow) {
+          const double* jr = J + 6 * rrow;
+          const double wr = w * res[rrow];
+          for (int a_ = 0; a_ < 6; ++a_) {
+            b[a_] += w * jr[a_] * res[rrow];
+            for (int b_ = a_; b_ < 6; ++b_)
+              H[6*a_ + b_] += w * jr[a_] * jr[b_];
+          }
+          (void)wr;
+        }
+      }
+      for (int a_ = 0; a_ < 6; ++a_)
+        for (int b_ = 0; b_ < a_; ++b_) H[6*a_ + b_] = H[6*b_ + a_];
+      // trial-step loop (8 attempts, same lambda schedule as the Python)
+      bool ok_step = false;
+      for (int trial = 0; trial < 8; ++trial) {
+        double A[36];
+        for (int i = 0; i < 36; ++i) A[i] = H[i];
+        for (int d_ = 0; d_ < 6; ++d_) A[7*d_] += lam * H[7*d_] + 1e-12;
+        // solve A dx = -b via Cholesky-ish Gaussian elimination
+        double M[6][7];
+        for (int r_ = 0; r_ < 6; ++r_) {
+          for (int c_ = 0; c_ < 6; ++c_) M[r_][c_] = A[6*r_ + c_];
+          M[r_][6] = -b[r_];
+        }
+        bool singular = false;
+        for (int col = 0; col < 6; ++col) {
+          int piv = col;
+          for (int r_ = col + 1; r_ < 6; ++r_)
+            if (std::fabs(M[r_][col]) > std::fabs(M[piv][col])) piv = r_;
+          if (std::fabs(M[piv][col]) < 1e-300) { singular = true; break; }
+          if (piv != col)
+            for (int c_ = col; c_ < 7; ++c_) std::swap(M[piv][c_], M[col][c_]);
+          for (int r_ = col + 1; r_ < 6; ++r_) {
+            const double f = M[r_][col] / M[col][col];
+            for (int c_ = col; c_ < 7; ++c_) M[r_][c_] -= f * M[col][c_];
+          }
+        }
+        if (singular) { lam *= 10; continue; }
+        double dx[6];
+        for (int r_ = 5; r_ >= 0; --r_) {
+          double acc = M[r_][6];
+          for (int c_ = r_ + 1; c_ < 6; ++c_) acc -= M[r_][c_] * dx[c_];
+          dx[r_] = acc / M[r_][r_];
+        }
+        double Rd[9], td[3], Rn[9], tn[3];
+        se3_exp_(dx, Rd, td);
+        for (int i_ = 0; i_ < 3; ++i_)
+          for (int j_ = 0; j_ < 3; ++j_) {
+            double acc = 0;
+            for (int k_ = 0; k_ < 3; ++k_) acc += Rd[3*i_+k_] * Rr[3*k_+j_];
+            Rn[3*i_+j_] = acc;
+          }
+        for (int i_ = 0; i_ < 3; ++i_)
+          tn[i_] = Rd[3*i_]*tr[0] + Rd[3*i_+1]*tr[1] + Rd[3*i_+2]*tr[2] + td[i_];
+        const double cost_new =
+            robust_cost(o, Rn, tn, inlier, delta_m, delta_s, use_huber);
+        if (cost_new < cost_prev) {
+          std::copy(Rn, Rn + 9, Rr);
+          std::copy(tn, tn + 3, tr);
+          cost_prev = cost_new;
+          lam = std::max(lam / 3, 1e-9);
+          ok_step = true;
+          break;
+        }
+        lam *= 10;
+      }
+      if (!ok_step) break;
+    }
+    std::copy(Rr, Rr + 9, R);
+    std::copy(tr, tr + 3, t);
+    // chi2 reclassification over ALL edges
+    const double cth = CHI2_SCALE[sidx];
+    int n_in = 0;
+    for (int i = 0; i < n; ++i) {
+      double res[3]; bool st;
+      residual_row(o, R, t, i, res, &st);
+      const double c2 = chi2_row(res, is2[i], st);
+      inlier[i] = c2 <= (st ? CHI2_S : CHI2_M) * cth ? 1 : 0;
+      n_in += inlier[i];
+    }
+    if (n_in < 10) break;
+  }
+  std::copy(R, R + 9, Rio);
+  std::copy(t, t + 3, tio);
+  int n_in = 0;
+  for (int i = 0; i < n; ++i) n_in += inlier[i];
+  return n_in;
+}
+
 }  // extern "C"

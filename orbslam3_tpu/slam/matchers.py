@@ -223,13 +223,67 @@ def search_by_projection_local_map_device(frame, map_points, th: float = 1.0,
 def search_by_projection_last_frame(cur, last, th: float, mono: bool,
                                     check_rotation: bool = True):
     """Motion-model matching: project last frame's map points into the
-    current frame (ORBmatcher3.cc:256 semantics)."""
+    current frame (ORBmatcher3.cc:256 semantics).
+
+    Pinhole frames run the native C++ kernel (same gates/walk order; the
+    rotation-consistency histogram runs here on the returned pairs);
+    everything else uses the Python walk below."""
     tcw = cur.Tcw
     tlw = last.Tcw
     tlc = tlw * tcw.inverse()
     tz = (tcw * tlw.inverse()).t[2]  # z of last origin in cur frame
     forward = tz > cur.mb and not mono
     backward = -tz > cur.mb and not mono
+
+    if type(cur.camera).__name__ == "Pinhole":
+        from orbslam3_tpu import native
+
+        if native.available():
+            m = last.n
+            pw = np.zeros((m, 3))
+            mp_valid = np.zeros(m, np.uint8)
+            mp_obs = np.zeros(m, np.uint8)
+            for i in range(m):
+                mp = last.map_points[i]
+                if mp is None or mp.bad or last.outlier[i]:
+                    continue
+                pw[i] = mp.position
+                mp_valid[i] = 1
+                mp_obs[i] = mp.n_obs > 0
+            occupied = np.asarray(
+                [p is not None and p.n_obs > 0 for p in cur.map_points],
+                np.uint8,
+            )
+            res = native.project_match_last(
+                pw, last.desc, last.octave, mp_valid, mp_obs,
+                tcw.R, tcw.t,
+                cur.camera.fx, cur.camera.fy, cur.camera.cx, cur.camera.cy,
+                cur.mbf,
+                cur.min_x, cur.max_x, cur.min_y, cur.max_y,
+                cur.kps_un, cur.octave, cur.desc, cur.u_right, occupied,
+                cur.scale_factors, th, MATCH_TH, SAME_OCTAVE_FIRST,
+                forward, backward,
+                cur.min_x, cur.min_y, cur._grid_w, cur._grid_h,
+            )
+            if res is not None:
+                out, _ = res
+                matches = 0
+                rot, rot_idx = [], []
+                for i_last in np.nonzero(out >= 0)[0]:
+                    best_i = int(out[i_last])
+                    cur.map_points[best_i] = last.map_points[i_last]
+                    matches += 1
+                    if check_rotation:
+                        dr = last.angle[i_last] - cur.angle[best_i]
+                        rot.append(dr + 360 if dr < 0 else dr)
+                        rot_idx.append(best_i)
+                if check_rotation and matches > 0:
+                    keep = _rotation_consistency(rot, rot_idx)
+                    for i in rot_idx:
+                        if i not in keep:
+                            cur.map_points[i] = None
+                            matches -= 1
+                return matches
 
     matches = 0
     rot = []

