@@ -113,6 +113,19 @@ def _load():
         ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_int, ctypes.c_int,
     ]
+    lib.ba_schur.restype = ctypes.c_int
+    lib.ba_schur.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double,
+        ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double),
+    ]
     _lib = lib
     return lib
 
@@ -321,3 +334,44 @@ def project_match_last(pw, mp_desc, mp_oct, mp_valid, mp_obs,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     return out, n
+
+
+def ba_schur(poses, points, cam_idx, pt_idx, obs_uv, obs_ur, inv_sigma2,
+             fixed_cams, active, fx, fy, cx, cy, mbf, n_iters, use_huber):
+    """Native Schur-complement BA (see orbslam3_native.cpp ba_schur).
+
+    poses: (C, 12) row-major [R(9), t(3)]; points: (P, 3).  Returns
+    (poses, points, chi2 (O,)) — new arrays — or None when the native lib
+    is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    poses = np.ascontiguousarray(poses, np.float64).copy()
+    points = np.ascontiguousarray(points, np.float64).copy()
+    cam_idx = np.ascontiguousarray(cam_idx, np.int32)
+    pt_idx = np.ascontiguousarray(pt_idx, np.int32)
+    obs_uv = np.ascontiguousarray(obs_uv, np.float64)
+    obs_ur = np.ascontiguousarray(obs_ur, np.float64)
+    is2 = np.ascontiguousarray(inv_sigma2, np.float64)
+    fixed = np.ascontiguousarray(fixed_cams, np.uint8)
+    act = np.ascontiguousarray(active, np.uint8)
+    o = len(cam_idx)
+    chi2 = np.empty(o, np.float64)
+    rc = lib.ba_schur(
+        poses.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        points.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        cam_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        pt_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        obs_uv.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        obs_ur.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        is2.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        fixed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        act.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        len(poses), len(points), o,
+        float(fx), float(fy), float(cx), float(cy), float(mbf),
+        int(n_iters), int(use_huber),
+        chi2.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    if rc != 0:
+        return None
+    return poses, points, chi2

@@ -681,4 +681,381 @@ int pose_optimize(const double* pw, const double* uv, const double* ur,
   return n_in;
 }
 
+// ---------------------------------------------------------------------------
+// Schur-complement bundle adjustment (Local/Global BA core): a faithful C++
+// port of optim/bundle_adjustment.py's vectorized LM — same residual model
+// (mono 2-dof + stereo 3-dof pinhole reprojection), Huber deltas, per-point
+// 3x3 damping, reduced-camera-system damping, trial-step accept/reject —
+// for the pinhole camera.  The NumPy implementation remains the spec and
+// the fallback (and the only path for fisheye).  Reference role:
+// Optimizer::LocalBundleAdjustment (/root/reference/src/Optimizer2.cc:350)
+// and BundleAdjustment (Optimizer1.cc:56) on g2o; here the whole graph is
+// flat arrays and the reduced system is solved densely per iteration.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+const double BA_CHI2_M = 5.991, BA_CHI2_S = 7.815;
+
+// 3x3 inverse; returns false if singular
+inline bool inv3(const double a[9], double out[9]) {
+  const double d = a[0] * (a[4] * a[8] - a[5] * a[7]) -
+                   a[1] * (a[3] * a[8] - a[5] * a[6]) +
+                   a[2] * (a[3] * a[7] - a[4] * a[6]);
+  if (std::fabs(d) < 1e-300) return false;
+  const double di = 1.0 / d;
+  out[0] = (a[4] * a[8] - a[5] * a[7]) * di;
+  out[1] = (a[2] * a[7] - a[1] * a[8]) * di;
+  out[2] = (a[1] * a[5] - a[2] * a[4]) * di;
+  out[3] = (a[5] * a[6] - a[3] * a[8]) * di;
+  out[4] = (a[0] * a[8] - a[2] * a[6]) * di;
+  out[5] = (a[2] * a[3] - a[0] * a[5]) * di;
+  out[6] = (a[3] * a[7] - a[4] * a[6]) * di;
+  out[7] = (a[1] * a[6] - a[0] * a[7]) * di;
+  out[8] = (a[0] * a[4] - a[1] * a[3]) * di;
+  return true;
+}
+
+// dense symmetric solve (Gaussian elimination, partial pivot).  A is n x n
+// row-major and is destroyed; b in/out becomes x.  Returns false if singular.
+bool dense_solve(std::vector<double>& A, std::vector<double>& b, int n) {
+  for (int col = 0; col < n; ++col) {
+    int piv = col;
+    for (int r = col + 1; r < n; ++r)
+      if (std::fabs(A[(size_t)r * n + col]) > std::fabs(A[(size_t)piv * n + col]))
+        piv = r;
+    if (std::fabs(A[(size_t)piv * n + col]) < 1e-300) return false;
+    if (piv != col) {
+      for (int c = col; c < n; ++c)
+        std::swap(A[(size_t)piv * n + c], A[(size_t)col * n + c]);
+      std::swap(b[piv], b[col]);
+    }
+    const double pv = 1.0 / A[(size_t)col * n + col];
+    for (int r = col + 1; r < n; ++r) {
+      const double f = A[(size_t)r * n + col] * pv;
+      if (f == 0.0) continue;
+      for (int c = col; c < n; ++c) A[(size_t)r * n + c] -= f * A[(size_t)col * n + c];
+      b[r] -= f * b[col];
+    }
+  }
+  for (int r = n - 1; r >= 0; --r) {
+    double acc = b[r];
+    for (int c = r + 1; c < n; ++c) acc -= A[(size_t)r * n + c] * b[c];
+    b[r] = acc / A[(size_t)r * n + r];
+  }
+  return true;
+}
+
+struct BAIn {
+  const int32_t *cam_idx, *pt_idx;
+  const double *obs_uv, *obs_ur, *is2;
+  const uint8_t* active;
+  int C, P, O;
+  double fx, fy, cx, cy, mbf;
+};
+
+// residuals + robust cost over active observations.  poses: (C, 12) row-major
+// [R(9), t(3)]; chi2/res/stereo are (O,) / (O,3) / (O,) outputs.
+double ba_cost(const BAIn& in, const double* poses, const double* points,
+               bool use_huber, double* res, uint8_t* stereo, double* chi2) {
+  double total = 0;
+  for (int o = 0; o < in.O; ++o) {
+    const double* T = poses + 12 * in.cam_idx[o];
+    const double* p = points + 3 * in.pt_idx[o];
+    const double x = T[0] * p[0] + T[1] * p[1] + T[2] * p[2] + T[9];
+    const double y = T[3] * p[0] + T[4] * p[1] + T[5] * p[2] + T[10];
+    const double z = T[6] * p[0] + T[7] * p[1] + T[8] * p[2] + T[11];
+    const double u = in.fx * x / z + in.cx;
+    const double v = in.fy * y / z + in.cy;
+    double* r = res + 3 * o;
+    r[0] = in.obs_uv[2 * o] - u;
+    r[1] = in.obs_uv[2 * o + 1] - v;
+    const bool st = in.obs_ur[o] >= 0;
+    stereo[o] = st;
+    r[2] = st ? (in.obs_ur[o] - (u - in.mbf / std::max(z, 1e-9))) : 0.0;
+    double e2 = r[0] * r[0] + r[1] * r[1];
+    if (st) e2 += r[2] * r[2];
+    const double c2 = e2 * in.is2[o];
+    chi2[o] = c2;
+    if (!in.active[o]) continue;
+    if (use_huber) {
+      const double d2 = st ? BA_CHI2_S : BA_CHI2_M;
+      const double delta = std::sqrt(d2);
+      const double e = std::sqrt(std::max(c2, 0.0));
+      total += (e <= delta) ? c2 : (2 * delta * e - d2);
+    } else {
+      total += c2;
+    }
+  }
+  return total;
+}
+
+}  // namespace
+
+// Schur LM over (poses, points).  poses (C, 12 = R row-major + t) and
+// points (P, 3) are updated in place for free cams / all points; chi2_out
+// (O,) receives final unrobust chi2.  Returns 0 on success.
+int ba_schur(double* poses, double* points,
+             const int32_t* cam_idx, const int32_t* pt_idx,
+             const double* obs_uv, const double* obs_ur, const double* is2,
+             const uint8_t* fixed_cams, const uint8_t* active,
+             int C, int P, int O,
+             double fx, double fy, double cx, double cy, double mbf,
+             int n_iters, int use_huber, double* chi2_out) {
+  BAIn in{cam_idx, pt_idx, obs_uv, obs_ur, is2, active,
+          C,       P,      O,      fx,     fy,  cx,    cy, mbf};
+  // free-camera slots
+  std::vector<int> c_slot(C, -1), free_idx;
+  for (int c = 0; c < C; ++c)
+    if (!fixed_cams[c]) {
+      c_slot[c] = (int)free_idx.size();
+      free_idx.push_back(c);
+    }
+  const int nf = (int)free_idx.size();
+  const int ns = 6 * nf;
+  // observations grouped by point (counting sort)
+  std::vector<int> starts(P + 1, 0), order(O);
+  for (int o = 0; o < O; ++o) starts[pt_idx[o] + 1]++;
+  for (int p = 0; p < P; ++p) starts[p + 1] += starts[p];
+  {
+    std::vector<int> cur(starts.begin(), starts.end() - 1);
+    for (int o = 0; o < O; ++o) order[cur[pt_idx[o]]++] = o;
+  }
+
+  std::vector<double> res(3 * O), chi2(O);
+  std::vector<uint8_t> stereo(O);
+  std::vector<double> hcc(36 * C), gc(6 * C), hpp(9 * P), gp(3 * P);
+  std::vector<double> vinv(9 * P), wblk(18 * O), yall(18 * O);
+  std::vector<double> S((size_t)ns * ns), rhs(ns);
+  std::vector<double> poses_new(12 * C), points_new(3 * P);
+
+  double lam = 1e-5;
+  double cost = ba_cost(in, poses, points, use_huber, res.data(),
+                        stereo.data(), chi2.data());
+
+  for (int it = 0; it < n_iters; ++it) {
+    ba_cost(in, poses, points, use_huber, res.data(), stereo.data(),
+            chi2.data());
+    std::fill(hcc.begin(), hcc.end(), 0.0);
+    std::fill(gc.begin(), gc.end(), 0.0);
+    std::fill(hpp.begin(), hpp.end(), 0.0);
+    std::fill(gp.begin(), gp.end(), 0.0);
+
+    for (int o = 0; o < O; ++o) {
+      const double* T = poses + 12 * cam_idx[o];
+      const double* p = points + 3 * pt_idx[o];
+      const double x = T[0] * p[0] + T[1] * p[1] + T[2] * p[2] + T[9];
+      const double y = T[3] * p[0] + T[4] * p[1] + T[5] * p[2] + T[10];
+      const double z = T[6] * p[0] + T[7] * p[1] + T[8] * p[2] + T[11];
+      const double zi = 1.0 / z;
+      const double zi2 = zi * zi;
+      // Huber IRLS weight (matches _weights)
+      double w = is2[o];
+      if (use_huber) {
+        const double d2 = stereo[o] ? BA_CHI2_S : BA_CHI2_M;
+        const double delta = std::sqrt(d2);
+        const double e = std::sqrt(std::max(chi2[o], 1e-18));
+        if (e > delta) w *= delta / e;
+      }
+      const double wa = active[o] ? w : 0.0;
+      // Jacobian rows (d res): mono rows 0-1, stereo row 2
+      const double jproj[6] = {fx * zi, 0.0, -fx * x * zi2,
+                               0.0,     fy * zi, -fy * y * zi2};
+      double Jc[18], Jp[9];
+      for (int rr = 0; rr < 2; ++rr) {
+        const double* g = jproj + 3 * rr;
+        Jc[6 * rr + 0] = g[0];
+        Jc[6 * rr + 1] = g[1];
+        Jc[6 * rr + 2] = g[2];
+        Jc[6 * rr + 3] = g[1] * (-z) + g[2] * y;
+        Jc[6 * rr + 4] = g[0] * z + g[2] * (-x);
+        Jc[6 * rr + 5] = g[0] * (-y) + g[1] * x;
+        // point jacobian: jproj @ R
+        for (int cc = 0; cc < 3; ++cc)
+          Jp[3 * rr + cc] = g[0] * T[cc] + g[1] * T[3 + cc] + g[2] * T[6 + cc];
+      }
+      if (stereo[o]) {
+        const double mz2 = mbf * zi2;
+        const double dzc[6] = {0, 0, 1, y, -x, 0};
+        for (int cc = 0; cc < 6; ++cc) Jc[12 + cc] = Jc[cc] + mz2 * dzc[cc];
+        for (int cc = 0; cc < 3; ++cc)
+          Jp[6 + cc] = Jp[cc] + mz2 * T[6 + cc];
+      } else {
+        for (int cc = 0; cc < 6; ++cc) Jc[12 + cc] = 0.0;
+        for (int cc = 0; cc < 3; ++cc) Jp[6 + cc] = 0.0;
+      }
+      for (int i = 0; i < 18; ++i) Jc[i] = -Jc[i];
+      for (int i = 0; i < 9; ++i) Jp[i] = -Jp[i];
+
+      // block products (weighted by wa)
+      double* A = hcc.data() + 36 * cam_idx[o];
+      double* B = hpp.data() + 9 * pt_idx[o];
+      double* W = wblk.data() + 18 * o;  // (6, 3) = Jc^T w Jp
+      const double* r = res.data() + 3 * o;
+      for (int a = 0; a < 6; ++a) {
+        double gsum = 0;
+        for (int rr = 0; rr < 3; ++rr) gsum += wa * Jc[6 * rr + a] * r[rr];
+        gc[6 * cam_idx[o] + a] += gsum;
+        for (int b = 0; b < 6; ++b) {
+          double acc = 0;
+          for (int rr = 0; rr < 3; ++rr)
+            acc += wa * Jc[6 * rr + a] * Jc[6 * rr + b];
+          A[6 * a + b] += acc;
+        }
+        for (int b = 0; b < 3; ++b) {
+          double acc = 0;
+          for (int rr = 0; rr < 3; ++rr)
+            acc += wa * Jc[6 * rr + a] * Jp[3 * rr + b];
+          W[3 * a + b] = acc;
+        }
+      }
+      for (int a = 0; a < 3; ++a) {
+        double gsum = 0;
+        for (int rr = 0; rr < 3; ++rr) gsum += wa * Jp[3 * rr + a] * r[rr];
+        gp[3 * pt_idx[o] + a] += gsum;
+        for (int b = 0; b < 3; ++b) {
+          double acc = 0;
+          for (int rr = 0; rr < 3; ++rr)
+            acc += wa * Jp[3 * rr + a] * Jp[3 * rr + b];
+          B[3 * a + b] += acc;
+        }
+      }
+    }
+
+    // damped point-block inverses
+    for (int p = 0; p < P; ++p) {
+      double hb[9];
+      std::copy(hpp.data() + 9 * p, hpp.data() + 9 * p + 9, hb);
+      for (int d = 0; d < 3; ++d)
+        hb[4 * d] += lam * std::max(std::fabs(hb[4 * d]), 1e-9) + 1e-12;
+      if (!inv3(hb, vinv.data() + 9 * p)) {
+        // fall back to a strongly damped identity
+        std::fill(vinv.data() + 9 * p, vinv.data() + 9 * p + 9, 0.0);
+        vinv[9 * p] = vinv[9 * p + 4] = vinv[9 * p + 8] = 1e-9;
+      }
+    }
+
+    // reduced camera system
+    std::fill(S.begin(), S.end(), 0.0);
+    std::fill(rhs.begin(), rhs.end(), 0.0);
+    for (int fi = 0; fi < nf; ++fi) {
+      const int ci = free_idx[fi];
+      for (int a = 0; a < 6; ++a) {
+        rhs[6 * fi + a] = -gc[6 * ci + a];
+        for (int b = 0; b < 6; ++b)
+          S[(size_t)(6 * fi + a) * ns + 6 * fi + b] = hcc[36 * ci + 6 * a + b];
+      }
+    }
+    for (int d = 0; d < ns; ++d)
+      S[(size_t)d * ns + d] += lam * std::max(S[(size_t)d * ns + d], 1e-9);
+
+    // Y = W Vinv per observation; rhs += Y g_p; S -= Y W^T over observer pairs
+    for (int o = 0; o < O; ++o) {
+      const double* W = wblk.data() + 18 * o;
+      const double* V = vinv.data() + 9 * pt_idx[o];
+      double* Y = yall.data() + 18 * o;
+      for (int a = 0; a < 6; ++a)
+        for (int b = 0; b < 3; ++b) {
+          double acc = 0;
+          for (int k = 0; k < 3; ++k) acc += W[3 * a + k] * V[3 * k + b];
+          Y[3 * a + b] = acc;
+        }
+      const int sl = c_slot[cam_idx[o]];
+      if (sl >= 0) {
+        const double* g = gp.data() + 3 * pt_idx[o];
+        for (int a = 0; a < 6; ++a)
+          rhs[6 * sl + a] += Y[3 * a] * g[0] + Y[3 * a + 1] * g[1] + Y[3 * a + 2] * g[2];
+      }
+    }
+    for (int p = 0; p < P; ++p) {
+      for (int ia = starts[p]; ia < starts[p + 1]; ++ia) {
+        const int oa = order[ia];
+        const int sa = c_slot[cam_idx[oa]];
+        if (sa < 0) continue;
+        const double* Ya = yall.data() + 18 * oa;
+        for (int ib = starts[p]; ib < starts[p + 1]; ++ib) {
+          const int ob = order[ib];
+          const int sb = c_slot[cam_idx[ob]];
+          if (sb < 0) continue;
+          const double* Wb = wblk.data() + 18 * ob;
+          for (int a = 0; a < 6; ++a)
+            for (int b = 0; b < 6; ++b) {
+              double acc = 0;
+              for (int k = 0; k < 3; ++k) acc += Ya[3 * a + k] * Wb[3 * b + k];
+              S[(size_t)(6 * sa + a) * ns + 6 * sb + b] -= acc;
+            }
+        }
+      }
+    }
+
+    std::vector<double> A(S);
+    std::vector<double> dxc(rhs);
+    for (int d = 0; d < ns; ++d) A[(size_t)d * ns + d] += 1e-12;
+    if (ns > 0 && !dense_solve(A, dxc, ns)) {
+      lam *= 10;
+      continue;
+    }
+
+    // back-substitute points: dp = Vinv (-g_p - W^T dxc)
+    std::vector<double> wtdx(3 * P, 0.0);
+    for (int o = 0; o < O; ++o) {
+      const int sl = c_slot[cam_idx[o]];
+      if (sl < 0) continue;
+      const double* W = wblk.data() + 18 * o;
+      const double* dx = dxc.data() + 6 * sl;
+      double* acc = wtdx.data() + 3 * pt_idx[o];
+      for (int b = 0; b < 3; ++b) {
+        double s = 0;
+        for (int a = 0; a < 6; ++a) s += W[3 * a + b] * dx[a];
+        acc[b] += s;
+      }
+    }
+    std::copy(points, points + 3 * P, points_new.begin());
+    for (int p = 0; p < P; ++p) {
+      const double* V = vinv.data() + 9 * p;
+      const double b0 = -gp[3 * p] - wtdx[3 * p];
+      const double b1 = -gp[3 * p + 1] - wtdx[3 * p + 1];
+      const double b2 = -gp[3 * p + 2] - wtdx[3 * p + 2];
+      points_new[3 * p] += V[0] * b0 + V[1] * b1 + V[2] * b2;
+      points_new[3 * p + 1] += V[3] * b0 + V[4] * b1 + V[5] * b2;
+      points_new[3 * p + 2] += V[6] * b0 + V[7] * b1 + V[8] * b2;
+    }
+
+    // tentative pose update: T_new = exp(dx) * T for free cams
+    std::copy(poses, poses + 12 * C, poses_new.begin());
+    for (int fi = 0; fi < nf; ++fi) {
+      const int ci = free_idx[fi];
+      double Rd[9], td[3];
+      se3_exp_(dxc.data() + 6 * fi, Rd, td);
+      const double* T = poses + 12 * ci;
+      double* Tn = poses_new.data() + 12 * ci;
+      for (int i = 0; i < 3; ++i)
+        for (int j = 0; j < 3; ++j) {
+          double acc = 0;
+          for (int k = 0; k < 3; ++k) acc += Rd[3 * i + k] * T[3 * k + j];
+          Tn[3 * i + j] = acc;
+        }
+      for (int i = 0; i < 3; ++i)
+        Tn[9 + i] = Rd[3 * i] * T[9] + Rd[3 * i + 1] * T[10] +
+                    Rd[3 * i + 2] * T[11] + td[i];
+    }
+
+    const double cost_n = ba_cost(in, poses_new.data(), points_new.data(),
+                                  use_huber, res.data(), stereo.data(),
+                                  chi2.data());
+    if (cost_n < cost) {
+      std::copy(poses_new.begin(), poses_new.end(), poses);
+      std::copy(points_new.begin(), points_new.end(), points);
+      cost = cost_n;
+      lam = std::max(lam / 3, 1e-9);
+    } else {
+      lam *= 10;
+    }
+  }
+
+  // final unrobust chi2 over all observations
+  ba_cost(in, poses, points, false, res.data(), stereo.data(), chi2_out);
+  return 0;
+}
+
 }  // extern "C"

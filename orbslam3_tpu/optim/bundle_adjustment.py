@@ -119,7 +119,40 @@ def bundle_adjust(
     use_huber: bool = True,
     active: np.ndarray | None = None,
 ):
-    """LM with Schur complement.  Returns (poses, points, final chi2 (O,))."""
+    """LM with Schur complement.  Returns (poses, points, final chi2 (O,)).
+
+    Dispatches to the native C++ port (orbslam3_native.cpp ba_schur — same
+    damping, Schur reduction, and trial-step schedule; runs the local-BA
+    window in tens of ms where the NumPy loop takes seconds) for pinhole
+    cameras; the NumPy path remains the spec and the fallback (and the only
+    path for fisheye)."""
+    if type(pr.camera).__name__ == "Pinhole" and len(pr.cam_idx):
+        from orbslam3_tpu import native
+
+        if native.available():
+            act = (
+                np.ones(len(pr.cam_idx), bool) if active is None else active
+            )
+            pose_blk = np.concatenate(
+                [
+                    np.stack([p.R.reshape(9) for p in pr.poses]),
+                    np.stack([p.t for p in pr.poses]),
+                ],
+                axis=1,
+            )
+            out = native.ba_schur(
+                pose_blk, pr.points, pr.cam_idx, pr.pt_idx, pr.obs_uv,
+                pr.obs_ur, pr.inv_sigma2, pr.fixed_cams, act,
+                pr.camera.fx, pr.camera.fy, pr.camera.cx, pr.camera.cy,
+                pr.mbf, n_iters, use_huber,
+            )
+            if out is not None:
+                poses_b, points, chi2 = out
+                poses = [
+                    SE3(row[:9].reshape(3, 3), row[9:]).normalized()
+                    for row in poses_b
+                ]
+                return poses, points, chi2
     n_c = len(pr.poses)
     n_p = len(pr.points)
     r, t = _pack(pr.poses)

@@ -74,3 +74,32 @@ def test_ba_exact_no_noise():
     for p, pt in zip(poses[1:], poses_true[1:]):
         assert np.linalg.norm((p * pt.inverse()).log()) < 1e-5
     assert chi2.max() < 1e-6
+
+
+def test_ba_native_matches_numpy_spec():
+    """ba_schur (C++) vs the NumPy bundle_adjust on the same problem.
+
+    The native port mirrors the spec's LM schedule exactly, so results agree
+    to solver-noise level, not just to convergence tolerance."""
+    from orbslam3_tpu import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    pr, _, _ = _synthetic_ba()
+
+    class PinholeNoNative(Pinhole):  # name-gated: routes to the NumPy path
+        pass
+
+    pr_np = BAProblem(**{**pr.__dict__})
+    pr_np.camera = PinholeNoNative(
+        [pr.camera.fx, pr.camera.fy, pr.camera.cx, pr.camera.cy]
+    )
+    poses_n, pts_n, chi2_n = bundle_adjust(pr, n_iters=15)
+    poses_p, pts_p, chi2_p = bundle_adjust(pr_np, n_iters=15)
+    for a, b in zip(poses_n, poses_p):
+        assert np.linalg.norm(a.t - b.t) < 1e-7
+        assert np.abs(a.R - b.R).max() < 1e-7
+    assert np.abs(pts_n - pts_p).max() < 1e-6
+    assert np.abs(chi2_n - chi2_p).max() < 1e-6
