@@ -102,10 +102,18 @@ class KeyFrame:
         # normalized(): see SE3.normalized — unnormalized persistent poses
         # corrupt exponentially through re-anchoring chains
         self.Tcw = Tcw.normalized()
+        self._Twc_cache = None
 
     @property
     def Twc(self) -> SE3:
-        return self.Tcw.inverse()
+        # lazy inverse, invalidated by set_pose (camera_center is called per
+        # map point in frustum checks / normal updates — the repeated
+        # inverse dominated those loops)
+        cached = getattr(self, "_Twc_cache", None)
+        if cached is None:
+            cached = self.Tcw.inverse()
+            self._Twc_cache = cached
+        return cached
 
     def camera_center(self) -> np.ndarray:
         return self.Twc.t

@@ -499,15 +499,46 @@ class Tracking:
                     mp.increase_visible()
                     mp.last_frame_seen = f.id
                     in_frame.add(mp.id)
-        n_to_match = 0
+        # batched frustum pass (Frame::isInFrustum semantics, vectorized over
+        # the whole local map — the per-point Python loop dominated
+        # TrackLocalMap at a few thousand candidates)
+        cand = []
         for mp in self.local_mps:
             mp.track_in_view = False
-            if mp.id in in_frame or mp.bad:
-                continue
-            proj = f.is_in_frustum(mp, 0.5)
-            if proj is not None:
+            if mp.id not in in_frame and not mp.bad:
+                cand.append(mp)
+        n_to_match = 0
+        if cand:
+            pw = np.stack([mp.position for mp in cand])
+            normal = np.stack([mp.normal for mp in cand])
+            min_d = np.array([mp.min_distance for mp in cand])
+            max_d = np.array([mp.max_distance for mp in cand])
+            pc = pw @ f.Tcw.R.T + f.Tcw.t
+            ow = f.camera_center()
+            v = pw - ow
+            dist = np.linalg.norm(v, axis=1)
+            uv = f.camera.project(np.where(pc[:, 2:3] > 1e-9, pc, [0, 0, 1.0]))
+            view_cos = (v * normal).sum(1) / np.maximum(dist, 1e-9)
+            ok = (
+                (pc[:, 2] >= 0.1)
+                & (f.min_x < uv[:, 0]) & (uv[:, 0] < f.max_x)
+                & (f.min_y < uv[:, 1]) & (uv[:, 1] < f.max_y)
+                & (min_d <= dist) & (dist <= max_d)
+                & (view_cos >= 0.5)
+            )
+            ratio = max_d / np.maximum(dist, 1e-9)
+            level = np.clip(
+                np.ceil(np.log(np.maximum(ratio, 1e-12)) / f.log_scale_factor),
+                0, f.n_levels - 1,
+            ).astype(np.int64)
+            ur = uv[:, 0] - f.mbf / np.maximum(pc[:, 2], 1e-9) if f.mbf > 0 \
+                else np.full(len(cand), -1.0)
+            for j in np.nonzero(ok)[0]:
+                mp = cand[j]
                 mp.track_in_view = True
-                mp.track_proj = proj
+                mp.track_proj = (
+                    uv[j, 0], uv[j, 1], ur[j], int(level[j]), float(view_cos[j])
+                )
                 mp.increase_visible()
                 n_to_match += 1
         if n_to_match > 0:
