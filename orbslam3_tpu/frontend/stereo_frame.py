@@ -122,10 +122,10 @@ def stereo_match(
         & (sul - SAD_W >= 0) & (sul + SAD_W + 1 <= lw)
         & (sur0 - SAD_L - SAD_W >= 0) & (sur0 + SAD_L + SAD_W + 1 <= lw)
     )
-    # Patch extraction as one-hot MXU einsums (the TPU gather unit runs at
-    # ~0.1M elem/ms; these ~350K window elements cost ~3 ms as a gather but
-    # ~0.2 ms on the MXU — ops/patches.py, bit-identical).
-    from orbslam3_tpu.ops.patches import extract_row_strips
+    # Patch extraction from the VMEM-resident composite (ops/window_gather
+    # Pallas kernel on TPU; one-hot MXU einsum fallback elsewhere —
+    # bit-identical either way).
+    from orbslam3_tpu.ops.window_gather import gather_windows
 
     comp_l, row_off = stack_l
     comp_r, _ = stack_r
@@ -137,8 +137,8 @@ def stereo_match(
     cl_sul = jnp.clip(sul - SAD_W, 0, jnp.minimum(lw, w0) - wl)
     cl_sur = jnp.clip(sur0 - SAD_L - SAD_W, 0, jnp.minimum(lw, w0) - ww)
     off = jnp.asarray(row_off)[oct_l]
-    p_l = extract_row_strips(comp_l, off + cl_svl, cl_sul, wl, wl)  # (K,11,11)
-    p_r = extract_row_strips(comp_r, off + cl_svl, cl_sur, wl, ww)  # (K,11,21)
+    p_l = gather_windows(comp_l, off + cl_svl, cl_sul, wl, wl)  # (K,11,11)
+    p_r = gather_windows(comp_r, off + cl_svl, cl_sur, wl, ww)  # (K,11,21)
     dists = jnp.stack(
         [
             jnp.abs(p_l - p_r[:, :, j : j + wl]).sum(axis=(1, 2))

@@ -25,7 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from orbslam3_tpu.ops.brief_pattern import BIT_PATTERN_31
-from orbslam3_tpu.ops.patches import extract_patches, sample_patches
+from orbslam3_tpu.ops.patches import sample_patches
+from orbslam3_tpu.ops.window_gather import gather_windows
 
 BRIEF_PAD = 19   # border width of the sampling buffer (reference EDGE_THRESHOLD)
 PATCH_HALF = 18  # max rounded rotated pattern offset
@@ -80,8 +81,10 @@ def brief_descriptors(
     r_off = jnp.rint(px * b + py * a).astype(jnp.int32)  # (N, 512) in [-18, 18]
     c_off = jnp.rint(px * a - py * b).astype(jnp.int32)
 
-    centers = jnp.stack([cx, cy], axis=1)
-    patches = extract_patches(sampling_img, centers, PATCH_HALF)  # (N, 37, 37)
+    patches = gather_windows(
+        sampling_img, cy - PATCH_HALF, cx - PATCH_HALF,
+        2 * PATCH_HALF + 1, 2 * PATCH_HALF + 1,
+    )  # (N, 37, 37)
     samples = sample_patches(patches, r_off + PATCH_HALF, c_off + PATCH_HALF)
 
     t0 = samples[:, 0::2]

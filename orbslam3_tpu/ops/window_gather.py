@@ -1,0 +1,128 @@
+"""Batched window gather from a VMEM-resident image (Pallas).
+
+The one-hot MXU patch engines (ops/patches.py) made per-keypoint window
+extraction *possible* at MXU rates, but every call materialises (K, P, H)
+one-hots and (K, P, W) strip intermediates through HBM — at EuRoC scale
+that traffic (~100 MB/frame across orientation + BRIEF + stereo SAD) is
+the dominant cost of the patch stages, not the MACs.
+
+This kernel is the TPU-native endgame: the whole (composite) image is
+pinned in VMEM once (a 752x480 8-level composite is ~3.3 MB in bf16, well
+under the ~16 MB/core budget), keypoint coordinates ride the scalar-
+prefetch channel (SMEM), and each grid step copies KB windows out with
+2-D dynamic slices that never touch HBM.  HBM traffic collapses to
+one image read + the (K, nr, nc) result write.
+
+Replaces `extract_row_strips` (stereo SAD strips) and `extract_patches`
+(orientation moments, BRIEF sampling patches) on TPU; the one-hot einsum
+formulation is kept as the non-TPU / fallback path and remains the
+semantic spec — results are bit-identical (both are exact u8 gathers).
+
+Reference role: the OpenCL kernels gather per-keypoint patches from
+image textures (/root/reference/src/OpenCL/Kernel/Orb.cl:27-30,
+Angle.cl:5-62); this is the batched TPU analogue.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+
+_PALLAS_ENV = os.environ.get("ORBSLAM3_TPU_PALLAS_GATHER", "1") == "1"
+
+# keypoints copied per grid step; sized so the out block (KB, nr, nc) keeps
+# Mosaic's relayout work per step small while amortising step overhead
+_KB = 8
+
+
+def _use_pallas() -> bool:
+    try:
+        return _PALLAS_ENV and jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def _gather_windows_pallas(
+    img2d: jax.Array,
+    row0: jax.Array,
+    col0: jax.Array,
+    nr: int,
+    nc: int,
+    interpret: bool = False,
+) -> jax.Array:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    h, w = img2d.shape
+    k = row0.shape[0]
+    kb = _KB
+    kp = -(-k // kb) * kb
+
+    # clamp like the callers' explicit clips: every window stays in-bounds
+    rc = jnp.stack(
+        [
+            jnp.clip(row0.astype(jnp.int32), 0, h - nr),
+            jnp.clip(col0.astype(jnp.int32), 0, w - nc),
+        ],
+        axis=1,
+    )
+    rc = jnp.pad(rc, ((0, kp - k), (0, 0)))
+    # Mosaic only supports dynamic slice starts aligned to the (8, 128) f32
+    # tile, so slices start at an aligned base and the sub-tile residual is
+    # applied with a dynamic circular rotate; pad so every aligned window
+    # stays in-bounds.  f32 (not bf16): alignment granule is 8 rows, and u8
+    # pixels are exact either way.
+    nrp = -(-(nr + 8) // 8) * 8
+    ncp = -(-(nc + 128) // 128) * 128
+    imgp = jnp.pad(img2d.astype(jnp.float32), ((0, nrp), (0, ncp)))
+
+    def kernel(rc_ref, img_ref, out_ref):
+        i = pl.program_id(0)
+        for j in range(kb):
+            r0 = rc_ref[i * kb + j, 0]
+            c0 = rc_ref[i * kb + j, 1]
+            rb = pl.multiple_of((r0 // 8) * 8, 8)
+            cb = pl.multiple_of((c0 // 128) * 128, 128)
+            win = img_ref[pl.ds(rb, nrp), pl.ds(cb, ncp)]
+            # rotate the sub-tile residual to the top-left, then crop
+            win = pltpu.roll(win, (nrp - (r0 - rb)) % nrp, axis=0)
+            win = pltpu.roll(win, (ncp - (c0 - cb)) % ncp, axis=1)
+            out_ref[j] = win[:nr, :nc]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(kp // kb,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(
+            (kb, nr, nc), lambda i, rc: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((kp, nr, nc), jnp.float32),
+        interpret=interpret,
+    )(rc, imgp)
+    return out[:k]
+
+
+def gather_windows(
+    img2d: jax.Array, row0: jax.Array, col0: jax.Array, nr: int, nc: int
+) -> jax.Array:
+    """(K, nr, nc) f32 windows; window k = img2d[row0[k]:+nr, col0[k]:+nc].
+
+    Starts are clamped into bounds (callers guarantee real windows are
+    in-bounds; clamping only normalises masked/invalid slots).
+    """
+    if _use_pallas():
+        return _gather_windows_pallas(img2d, row0, col0, nr, nc)
+    from orbslam3_tpu.ops.patches import extract_row_strips
+
+    h, w = img2d.shape
+    r = jnp.clip(row0.astype(jnp.int32), 0, h - nr)
+    c = jnp.clip(col0.astype(jnp.int32), 0, w - nc)
+    return extract_row_strips(img2d, r, c, nr, nc)
