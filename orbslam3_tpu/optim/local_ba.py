@@ -98,7 +98,9 @@ def local_bundle_adjustment(kf, map_, abort_flag=None, max_fixed: int = 200):
             k.set_pose(p)
     for mp, pos in zip(local_mps, points):
         mp.position = pos
-        mp.update_normal_and_depth()
+    from orbslam3_tpu.slam.map_point import refresh_points
+
+    refresh_points(local_mps, descriptors=False)
     # erase outlier observations
     bad = chi2 > th
     n_erased = 0

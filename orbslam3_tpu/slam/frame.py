@@ -174,6 +174,13 @@ class Frame:
         pc = ray * z
         return self.Twc * pc
 
+    def unproject_stereo_batch(self, idxs: np.ndarray) -> np.ndarray:
+        """(N, 3) world points for keypoints idxs (caller ensures depth>0)."""
+        rays = self.camera.unproject(self.kps_un[idxs])
+        pc = rays * self.depth[idxs][:, None]
+        twc = self.Twc
+        return pc @ twc.R.T + twc.t
+
     def is_in_frustum(self, mp, view_cos_limit: float = 0.5):
         """Vectorless single-point frustum check (Frame::isInFrustum).
 

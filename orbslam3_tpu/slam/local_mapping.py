@@ -18,7 +18,7 @@ import numpy as np
 from orbslam3_tpu.optim.local_ba import local_bundle_adjustment
 from orbslam3_tpu.optim.triangulate import triangulate_linear
 from orbslam3_tpu.slam import matchers
-from orbslam3_tpu.slam.map_point import MapPoint
+from orbslam3_tpu.slam.map_point import MapPoint, refresh_points
 
 
 class LocalMapping:
@@ -136,16 +136,17 @@ class LocalMapping:
             self.loop_closer.insert_keyframe(kf)
 
     def _process_new_keyframe(self, kf):
+        fresh = []
         for i, mp in enumerate(kf.map_points):
             if mp is None or mp.bad:
                 continue
             if kf not in mp.observations:
                 mp.add_observation(kf, i)
-                mp.update_normal_and_depth()
-                mp.compute_distinctive_descriptor()
+                fresh.append(mp)
             else:
                 # duplicated during creation: leave for culling watch-list
                 self.recent_map_points.append(mp)
+        refresh_points(fresh)
         kf.update_connections()
         self.atlas.add_keyframe(kf)
         if self.kf_database is not None:
@@ -176,6 +177,7 @@ class LocalMapping:
         m = self.atlas.get_current_map()
         ow1 = kf.camera_center()
         created = 0
+        fresh = []
         for kf2 in neighbors:
             if kf2.bad:
                 continue
@@ -263,11 +265,11 @@ class LocalMapping:
                     mp.add_observation(kf2, i2)
                     kf.add_map_point(mp, i1)
                     kf2.add_map_point(mp, i2)
-                    mp.compute_distinctive_descriptor()
-                    mp.update_normal_and_depth()
                     m.add_map_point(mp)
                     self.recent_map_points.append(mp)
+                    fresh.append(mp)
                     created += 1
+        refresh_points(fresh)
         return created
 
     # --- inertial initialization (LocalMapping::InitializeIMU role,
@@ -509,9 +511,7 @@ class LocalMapping:
                     cand_seen.add(mp.id)
                     fuse_candidates.append(mp)
         matchers.fuse(kf, fuse_candidates)
-        for _, mp in kf.get_map_point_indices():
-            mp.compute_distinctive_descriptor()
-            mp.update_normal_and_depth()
+        refresh_points([mp for _, mp in kf.get_map_point_indices()])
         kf.update_connections()
 
     def _cull_keyframes(self, kf):

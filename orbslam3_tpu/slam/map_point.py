@@ -9,15 +9,15 @@ as a compact host-side class with vectorized descriptor math.
 
 from __future__ import annotations
 
-import numpy as np
+import math
 
-_POPCNT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1)
+import numpy as np
 
 
 def hamming_rows(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Pairwise Hamming distances between (N, 32) and (M, 32) -> (N, M)."""
     x = a[:, None, :] ^ b[None, :, :]
-    return _POPCNT[x].sum(axis=-1)
+    return np.bitwise_count(x).sum(axis=-1, dtype=np.int32)
 
 
 class MapPoint:
@@ -121,33 +121,36 @@ class MapPoint:
                 descs.append(kf.desc[right])
         if not descs:
             return
+        if len(descs) == 1:
+            self.descriptor = descs[0].copy()
+            return
         d = np.asarray(descs)
         dist = hamming_rows(d, d)
-        med = np.median(dist, axis=1)
+        # the reference's "median" is the sorted element at (N-1)/2
+        # (MapPoint::ComputeDistinctiveDescriptors), not an averaged median
+        m = (len(descs) - 1) // 2
+        med = np.partition(dist, m, axis=1)[:, m]
         self.descriptor = d[int(np.argmin(med))].copy()
 
     def update_normal_and_depth(self):
         if not self.observations or self.ref_kf is None:
             return
-        normals = []
-        for kf, (left, right) in self.observations.items():
-            v = self.position - kf.camera_center()
-            nv = np.linalg.norm(v)
-            if nv > 1e-9:
-                normals.append(v / nv)
-                if right >= 0 and left < 0:
-                    pass
-        if not normals:
+        centers = np.stack([kf.camera_center() for kf in self.observations])
+        v = self.position[None, :] - centers
+        nv = np.sqrt((v * v).sum(axis=1))
+        good = nv > 1e-9
+        if not good.any():
             return
-        self.normal = np.mean(normals, axis=0)
-        nn = np.linalg.norm(self.normal)
+        self.normal = (v[good] / nv[good][:, None]).mean(axis=0)
+        nn = math.sqrt(float(self.normal @ self.normal))
         if nn > 1e-9:
             self.normal /= nn
         left, right = self.observations.get(self.ref_kf, (-1, -1))
         idx = left if left >= 0 else right
         if idx < 0:
             idx = 0
-        dist = np.linalg.norm(self.position - self.ref_kf.camera_center())
+        d = self.position - self.ref_kf.camera_center()
+        dist = math.sqrt(float(d @ d))
         level = int(self.ref_kf.octave[idx]) if idx < self.ref_kf.n else 0
         factor = self.ref_kf.scale_factors[level]
         n_levels = self.ref_kf.n_levels
@@ -169,3 +172,99 @@ class MapPoint:
     @property
     def found_ratio(self) -> float:
         return self.n_found / max(self.n_visible, 1)
+
+
+def refresh_points(mps, descriptors: bool = True) -> None:
+    """Batched compute_distinctive_descriptor + update_normal_and_depth.
+
+    Same results as the per-point methods, vectorized across a whole batch
+    (the per-KF maintenance loops touch ~2k points per keyframe insertion;
+    one fused pass replaces ~2k x ~30 small NumPy calls).  KeyFrame camera
+    centers are interned once per distinct KF.  `descriptors=False` runs
+    only the normal/depth pass (local BA's post-update).
+    """
+    mps = [mp for mp in mps if mp is not None and not mp.bad and mp.observations]
+    if not mps:
+        return
+    g_count = len(mps)
+    pos = np.empty((g_count, 3))
+    centers: list[np.ndarray] = []
+    cidx: dict[int, int] = {}
+    descs: list[np.ndarray] = []
+    dgrp: list[int] = []
+    ogrp: list[int] = []
+    ocen: list[int] = []
+    for g, mp in enumerate(mps):
+        pos[g] = mp.position
+        for kf, (left, right) in mp.observations.items():
+            ci = cidx.get(id(kf))
+            if ci is None:
+                ci = len(centers)
+                cidx[id(kf)] = ci
+                centers.append(kf.camera_center())
+            ogrp.append(g)
+            ocen.append(ci)
+            if descriptors and not kf.bad:
+                if left >= 0:
+                    descs.append(kf.desc[left])
+                    dgrp.append(g)
+                if right >= 0:
+                    descs.append(kf.desc[right])
+                    dgrp.append(g)
+
+    # --- distinctive descriptors (min median Hamming per group) ----------
+    if descs:
+        d_all = np.stack(descs)
+        dg = np.asarray(dgrp)
+        counts = np.bincount(dg, minlength=g_count)
+        nmax = int(counts.max())
+        off = np.zeros(g_count, np.int64)
+        np.cumsum(counts[:-1], out=off[1:])
+        rank = np.arange(len(dg)) - off[dg]  # observations are group-ordered
+        block = np.zeros((g_count, nmax, 32), np.uint8)
+        block[dg, rank] = d_all
+        dist = np.bitwise_count(
+            block[:, :, None, :] ^ block[:, None, :, :]
+        ).sum(-1, dtype=np.int32)  # (G, nmax, nmax)
+        col_ok = np.arange(nmax)[None, :] < counts[:, None]
+        dist = np.where(col_ok[:, None, :], dist, 1 << 20)
+        dist.sort(axis=2)
+        m = np.maximum(counts - 1, 0) // 2  # reference's sorted[(N-1)/2]
+        med = np.take_along_axis(dist, m[:, None, None], axis=2)[:, :, 0]
+        med = np.where(col_ok, med, 1 << 20)
+        best = med.argmin(axis=1)
+        choice = block[np.arange(g_count), best]
+        for g, mp in enumerate(mps):
+            if counts[g] > 0:
+                mp.descriptor = choice[g].copy()
+
+    # --- normals + scale-invariance depth range --------------------------
+    og = np.asarray(ogrp)
+    oc = np.asarray(ocen)
+    cen = np.stack(centers)
+    v = pos[og] - cen[oc]
+    nv = np.sqrt((v * v).sum(axis=1))
+    good = nv > 1e-9
+    vg, ogg = v[good] / nv[good][:, None], og[good]
+    cnt = np.bincount(ogg, minlength=g_count)
+    sums = np.stack(
+        [np.bincount(ogg, weights=vg[:, a], minlength=g_count) for a in range(3)],
+        axis=1,
+    )
+    normal = sums / np.maximum(cnt, 1)[:, None]
+    nn = np.sqrt((normal * normal).sum(axis=1))
+    normal = np.where(nn[:, None] > 1e-9, normal / np.maximum(nn, 1e-30)[:, None], normal)
+    for g, mp in enumerate(mps):
+        ref = mp.ref_kf
+        if ref is None or cnt[g] == 0:
+            continue
+        mp.normal = normal[g]
+        left, right = mp.observations.get(ref, (-1, -1))
+        idx = left if left >= 0 else right
+        if idx < 0:
+            idx = 0
+        d = mp.position - ref.camera_center()
+        dist_r = math.sqrt(float(d @ d))
+        level = int(ref.octave[idx]) if idx < ref.n else 0
+        mp.max_distance = dist_r * ref.scale_factors[level]
+        mp.min_distance = mp.max_distance / ref.scale_factors[ref.n_levels - 1]

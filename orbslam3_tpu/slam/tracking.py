@@ -21,7 +21,7 @@ from orbslam3_tpu.optim.pose_optimization import PoseObservations, pose_optimiza
 from orbslam3_tpu.slam import matchers
 from orbslam3_tpu.slam.frame import Frame
 from orbslam3_tpu.slam.keyframe import KeyFrame
-from orbslam3_tpu.slam.map_point import MapPoint
+from orbslam3_tpu.slam.map_point import MapPoint, refresh_points
 from orbslam3_tpu.utils.lie import SE3
 
 
@@ -331,20 +331,25 @@ class Tracking:
         if len(cand) == 0:
             return
         order = cand[np.argsort(z[cand])]
-        n_new = 0
-        for i in order:
-            mp = lf.map_points[i]
-            if mp is None or mp.n_obs < 1:
-                pw = lf.unproject_stereo(i)
-                if pw is None:
-                    continue
-                mp_new = MapPoint(pw, None, None)
-                mp_new.descriptor = lf.desc[i].copy()
-                lf.map_points[i] = mp_new
-                self.temporal_points.append(mp_new)
-                n_new += 1
-            if z[i] > self.depth_th and n_new > 100:
-                break
+        # vectorized form of the reference's create-closest-first loop
+        # (process in depth order, stop after the first point that is both
+        # beyond depth_th and past 100 creations)
+        mps = lf.map_points
+        need_new = np.fromiter(
+            ((mps[i] is None or mps[i].n_obs < 1) for i in order),
+            bool,
+            len(order),
+        )
+        stop = (z[order] > self.depth_th) & (np.cumsum(need_new) > 100)
+        end = int(np.argmax(stop)) + 1 if stop.any() else len(order)
+        new_idx = order[:end][need_new[:end]]
+        if len(new_idx) == 0:
+            return
+        for i, pw in zip(new_idx, lf.unproject_stereo_batch(new_idx)):
+            mp_new = MapPoint(pw, None, None)
+            mp_new.descriptor = lf.desc[i].copy()
+            mps[i] = mp_new
+            self.temporal_points.append(mp_new)
 
     def _track_with_motion_model(self) -> bool:
         self._update_last_frame()
@@ -748,6 +753,7 @@ class Tracking:
             cand = np.nonzero(z > 0)[0]
             order = cand[np.argsort(z[cand])]
             n_new = 0
+            fresh = []
             for i in order:
                 mp = f.map_points[i]
                 if mp is None or mp.n_obs < 1:
@@ -757,13 +763,13 @@ class Tracking:
                     mp_new = MapPoint(pw, kf, m)
                     mp_new.add_observation(kf, i)
                     kf.add_map_point(mp_new, i)
-                    mp_new.compute_distinctive_descriptor()
-                    mp_new.update_normal_and_depth()
                     m.add_map_point(mp_new)
                     f.map_points[i] = mp_new
+                    fresh.append(mp_new)
                     n_new += 1
                 if z[i] > self.depth_th and n_new > 100:
                     break
+            refresh_points(fresh)
         self._attach_imu_to_kf(kf)
         self.local_mapper.insert_keyframe(kf)
         self.last_kf = kf
