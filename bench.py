@@ -60,15 +60,13 @@ def main() -> None:
     # defeats dead-code elimination, measuring true sustained device compute.
     @jax.jit
     def run(ps):
-        def body(c, pair):
-            out = sf.extract_and_match_stereo.__wrapped__(
-                pair, params, sf.DEFAULT_MBF, sf.DEFAULT_FX
-            )
-            acc = c
-            for leaf in jax.tree.leaves(out):
-                acc = acc + leaf.astype(jnp.float32).sum()
-            return acc, ()
-        return jax.lax.scan(body, jnp.float32(0), ps)[0]
+        out = sf.extract_and_match_stereo_sequence.__wrapped__(
+            ps, params, sf.DEFAULT_MBF, sf.DEFAULT_FX
+        )
+        acc = jnp.float32(0)
+        for leaf in jax.tree.leaves(out):
+            acc = acc + leaf.astype(jnp.float32).sum()
+        return acc
 
     np.asarray(run(pairs))  # compile + warmup
     times = []

@@ -181,6 +181,25 @@ def stereo_match(
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def extract_and_match_stereo_sequence(
+    pairs: jax.Array,
+    params: PyramidParams,
+    mbf: float = DEFAULT_MBF,
+    fx: float = DEFAULT_FX,
+) -> StereoFrameFeatures:
+    """Offline/mapping throughput path: (N, 2, H, W) uint8 stereo pairs
+    through the fused front-end in ONE dispatch (lax.scan over frames;
+    leaves stacked along a leading N axis).  Amortises per-dispatch latency
+    for batch jobs — the real-time loop uses `extract_and_match_stereo` /
+    `prefetch_stereo` instead."""
+
+    def body(_, pair):
+        return None, extract_and_match_stereo.__wrapped__(pair, params, mbf, fx)
+
+    return jax.lax.scan(body, None, pairs)[1]
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
 def extract_and_match_stereo(
     pair: jax.Array,
     params: PyramidParams,
