@@ -17,12 +17,11 @@ from __future__ import annotations
 
 import numpy as np
 
-_POPCNT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1)
-
-
 def _hamming(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """(N, 32) x (M, 32) -> (N, M) int32."""
-    return _POPCNT[a[:, None, :] ^ b[None, :, :]].sum(axis=-1).astype(np.int32)
+    return np.bitwise_count(a[:, None, :] ^ b[None, :, :]).sum(
+        axis=-1, dtype=np.int32
+    )
 
 
 def _bit_median(descs: np.ndarray) -> np.ndarray:
@@ -136,22 +135,35 @@ class BinaryVocabulary:
             idx = np.nonzero(has_child)[0]
             chi = ch[idx]                                # (M, k)
             cand = self.node_desc[np.maximum(chi, 0)]    # (M, k, 32)
-            d = _POPCNT[cand ^ descriptors[idx][:, None, :]].sum(axis=-1)
+            d = np.bitwise_count(cand ^ descriptors[idx][:, None, :]).sum(
+                axis=-1, dtype=np.int32
+            )
             d = np.where(chi >= 0, d, 1 << 20)
             cur[idx] = chi[np.arange(len(idx)), d.argmin(axis=1)]
         words = self.word_id[cur]
+        # bow: per-word summed idf weight, L1-normalized (vectorized)
+        wv = words[words >= 0]
         bow: dict[int, float] = {}
-        feat: dict[int, list[int]] = {}
-        for i in range(n):
-            w = int(words[i])
-            if w >= 0:
-                wt = float(self.weights[w])
-                if wt > 0:
-                    bow[w] = bow.get(w, 0.0) + wt
-            feat.setdefault(int(feat_node[i]), []).append(i)
-        s = sum(bow.values())
-        if s > 0:
-            bow = {w: v / s for w, v in bow.items()}
+        if len(wv):
+            uw, cnt = np.unique(wv, return_counts=True)
+            wts = self.weights[uw] * cnt
+            keep = self.weights[uw] > 0
+            s = wts[keep].sum()
+            if s > 0:
+                bow = dict(
+                    zip(uw[keep].tolist(), (wts[keep] / s).tolist())
+                )
+        # feat: node-at-feat-level -> ascending descriptor indices
+        order = np.argsort(feat_node, kind="stable")
+        fn = feat_node[order]
+        bounds = np.nonzero(np.diff(fn))[0] + 1
+        feat = {
+            int(fn[s0]): order[s0:s1].tolist()
+            for s0, s1 in zip(
+                np.concatenate([[0], bounds]),
+                np.concatenate([bounds, [n]]),
+            )
+        }
         return bow, feat
 
     @staticmethod

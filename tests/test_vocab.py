@@ -63,6 +63,33 @@ def test_vocab_text_format_roundtrip(tmp_path, vocab):
     assert abs(vocab.score(b1, c1) - v2.score(b2, c2)) < 1e-6
 
 
+@pytest.mark.slow
+def test_vocab_at_scale(tmp_path):
+    """10k-word (k=10, L=4) vocabulary: train, ORBvoc.txt round-trip, and
+    per-frame transform cost stay sane at a DBoW2-like branching factor
+    (the real 145 MB ORBvoc.txt is k=10, L=6 — same shape, deeper)."""
+    import time
+
+    rng = np.random.default_rng(3)
+    voc = BinaryVocabulary.train(
+        rng.integers(0, 256, (40000, 32), dtype=np.uint8),
+        k=10, depth=4, kmeans_iters=2,
+    )
+    assert voc.n_words == 10_000
+    p = str(tmp_path / "big_voc.txt")
+    voc.save_orbvoc_text(p)
+    v2 = BinaryVocabulary.load_orbvoc_text(p, feat_level=voc.feat_level)
+    assert v2.n_words == voc.n_words
+    d = rng.integers(0, 256, (1000, 32), dtype=np.uint8)
+    b1, f1 = voc.transform(d)
+    b2, f2 = v2.transform(d)
+    assert abs(voc.score(b1, b1) - v2.score(b2, b2)) < 1e-9
+    assert sorted(len(v) for v in f1.values()) == sorted(len(v) for v in f2.values())
+    t0 = time.perf_counter()
+    voc.transform(d)
+    assert (time.perf_counter() - t0) < 0.1  # ComputeBoW budget per KF
+
+
 def test_pnp_ransac_recovers_pose():
     cam = Pinhole([400.0, 400.0, 320.0, 240.0])
     T_true = SE3(so3_exp(RNG.normal(0, 0.3, 3)), RNG.normal(0, 0.5, 3))
