@@ -209,8 +209,22 @@ def extract_and_match_stereo(
     """pair: (2, H, W) uint8 — the full stereo perception front-end, fused."""
     pyr_l = build_pyramid(pair[0], params)
     pyr_r = build_pyramid(pair[1], params)
-    feat_l = extract_from_pyramid(pyr_l, params)
-    feat_r = extract_from_pyramid(pyr_r, params)
+    # BOTH cameras' FAST detection in one composite pass (16 crops, one
+    # Pallas launch + one NMS/retry instead of two of each)
+    from orbslam3_tpu.ops.extractor import detection_crops
+    from orbslam3_tpu.ops.fast import detect_two_threshold_multi
+
+    act_l, crops_l = detection_crops(pyr_l, params)
+    act_r, crops_r = detection_crops(pyr_r, params)
+    score_list = detect_two_threshold_multi(
+        crops_l + crops_r, params.ini_th_fast, params.min_th_fast
+    )
+    feat_l = extract_from_pyramid(
+        pyr_l, params, dict(zip(act_l, score_list[: len(act_l)]))
+    )
+    feat_r = extract_from_pyramid(
+        pyr_r, params, dict(zip(act_r, score_list[len(act_l) :]))
+    )
     stack_l = _pyramid_concat(pyr_l)
     stack_r = _pyramid_concat(pyr_r)
     level_hw = np.array([lvl.shape for lvl in pyr_l], np.int32)

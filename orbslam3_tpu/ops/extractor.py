@@ -65,27 +65,44 @@ def extract_features(
     return extract_from_pyramid(build_pyramid(image, params), params)
 
 
-def extract_from_pyramid(
+def detection_crops(
     pyramid: list[jax.Array], params: PyramidParams
-) -> FrameFeatures:
-    """Extraction given a prebuilt pyramid (lets callers reuse the levels)."""
+) -> tuple[list[int], list[jax.Array]]:
+    """(active levels, FAST detection crops) for a pyramid — callers can
+    batch crops from SEVERAL pyramids (e.g. the stereo pair) into one
+    `detect_two_threshold_multi` composite pass."""
     quotas = [int(q) for q in params.features_per_level()]
-    scales = params.scale_factors
     b = FAST_BORDER
-    # FAST detection for every level in ONE composite pass (one Pallas
-    # launch + one NMS/retry instead of eight of each)
-    active = []
-    crops = []
+    active, crops = [], []
     for level, img in enumerate(pyramid):
         h, w = img.shape
         ch, cw = h - 2 * b, w - 2 * b
         if ch >= 7 and cw >= 7 and quotas[level] > 0:
             active.append(level)
             crops.append(img[b : h - b, b : w - b])
-    score_list = detect_two_threshold_multi(
-        crops, params.ini_th_fast, params.min_th_fast
-    )
-    scores = dict(zip(active, score_list))
+    return active, crops
+
+
+def extract_from_pyramid(
+    pyramid: list[jax.Array],
+    params: PyramidParams,
+    scores: dict[int, jax.Array] | None = None,
+) -> FrameFeatures:
+    """Extraction given a prebuilt pyramid (lets callers reuse the levels).
+
+    `scores` (level -> NMS'd score crop) skips detection — the stereo path
+    computes both cameras' detections in one composite pass."""
+    quotas = [int(q) for q in params.features_per_level()]
+    scales = params.scale_factors
+    b = FAST_BORDER
+    if scores is None:
+        # FAST detection for every level in ONE composite pass (one Pallas
+        # launch + one NMS/retry instead of eight of each)
+        active, crops = detection_crops(pyramid, params)
+        score_list = detect_two_threshold_multi(
+            crops, params.ini_th_fast, params.min_th_fast
+        )
+        scores = dict(zip(active, score_list))
     blocks: list[FrameFeatures] = []
     for level, img in enumerate(pyramid):
         h, w = img.shape

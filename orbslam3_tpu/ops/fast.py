@@ -200,9 +200,9 @@ def detect_two_threshold_multi(
     shelves: list[list[int]] = []  # [y0, height, x_cursor]
     place = []
     y_total = 0
-    for ph, pw in pads:  # pyramid order is non-increasing height
+    for ph, pw in pads:
         for s in shelves:
-            if s[2] + pw <= w_comp:
+            if s[1] >= ph and s[2] + pw <= w_comp:
                 place.append((s[0], s[2]))
                 s[2] += pw
                 break
