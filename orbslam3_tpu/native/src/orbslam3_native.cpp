@@ -579,7 +579,9 @@ int pose_optimize(const double* pw, const double* uv, const double* ur,
           J[6*rrow + 5] = g[0] * (-y) + g[1] * (x);
         }
         if (st) {
-          const double mz2 = mbf * zi2;
+          // z clamped like the NumPy spec's mbf / max(z,1e-9)^2
+          const double zc = std::max(z, 1e-9);
+          const double mz2 = mbf / (zc * zc);
           // j_ur = j_u + mbf/z^2 * dz_dxi  where dz_dxi = row 2 of [I|-hat]
           const double dz[6] = {0, 0, 1, y, -x, 0};
           for (int c_ = 0; c_ < 6; ++c_)
@@ -875,7 +877,9 @@ int ba_schur(double* poses, double* points,
           Jp[3 * rr + cc] = g[0] * T[cc] + g[1] * T[3 + cc] + g[2] * T[6 + cc];
       }
       if (stereo[o]) {
-        const double mz2 = mbf * zi2;
+        // z clamped like the NumPy spec's mz = mbf / max(z,1e-9)^2
+        const double zc = std::max(z, 1e-9);
+        const double mz2 = mbf / (zc * zc);
         const double dzc[6] = {0, 0, 1, y, -x, 0};
         for (int cc = 0; cc < 6; ++cc) Jc[12 + cc] = Jc[cc] + mz2 * dzc[cc];
         for (int cc = 0; cc < 3; ++cc)

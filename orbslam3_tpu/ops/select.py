@@ -68,9 +68,9 @@ def select_topk_grid(score: jax.Array, k: int) -> tuple[jax.Array, jax.Array, ja
         bx = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 1) * c
         cy = by + l_win // c
         cx = bx + l_win % c
-        return cmax.reshape(-1), cy.reshape(-1), cx.reshape(-1), pmax
+        return cmax.reshape(-1), cy.reshape(-1), cx.reshape(-1), packed, pmax
 
-    cmax, wy, wx, pmax = grid_maxima(padded, cell, ph, pw)
+    cmax, wy, wx, packed, pmax = grid_maxima(padded, cell, ph, pw)
 
     # Residual pool: winners suppressed (broadcast-compare against the
     # cell-max pack — a per-winner scatter measured 2x slower on TPU), then
@@ -78,16 +78,12 @@ def select_topk_grid(score: jax.Array, k: int) -> tuple[jax.Array, jax.Array, ja
     # whole map would sort ~350K values (milliseconds); per-fine-cell maxima
     # + a top-k over <=4k candidates is the same spatial-uniformity objective
     # at ~zero cost.
-    ys = jax.lax.broadcasted_iota(jnp.int32, (ph, pw), 0)
-    xs = jax.lax.broadcasted_iota(jnp.int32, (ph, pw), 1)
-    local = (ys % cell) * cell + (xs % cell)
-    packed = padded.astype(jnp.int32) * (cell * cell) + (cell * cell - 1 - local)
     pmax_full = jnp.repeat(jnp.repeat(pmax, cell, axis=0), cell, axis=1)
     resid = jnp.where(packed == pmax_full, 0, padded)
     fine = max(cell // 2, 1)
     fy, fx = math.ceil(ph / fine), math.ceil(pw / fine)
     resid = jnp.zeros((fy * fine, fx * fine), score.dtype).at[:ph, :pw].set(resid)
-    rresp, ry, rx, _ = grid_maxima(resid, fine, fy * fine, fx * fine)
+    rresp, ry, rx, _, _ = grid_maxima(resid, fine, fy * fine, fx * fine)
 
     # zero-pad the candidate pool so it always holds >= k entries
     zpad = jnp.zeros((k,), jnp.int32)

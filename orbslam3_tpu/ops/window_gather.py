@@ -7,10 +7,12 @@ that traffic (~100 MB/frame across orientation + BRIEF + stereo SAD) is
 the dominant cost of the patch stages, not the MACs.
 
 This kernel is the TPU-native endgame: the whole (composite) image is
-pinned in VMEM once (a 752x480 8-level composite is ~3.3 MB in bf16, well
-under the ~16 MB/core budget), keypoint coordinates ride the scalar-
-prefetch channel (SMEM), and each grid step copies KB windows out with
-2-D dynamic slices that never touch HBM.  HBM traffic collapses to
+pinned in VMEM once as f32 (a 752x480 8-level composite is ~7-9 MB with
+alignment padding — inside but not far under the ~16 MB/core budget; f32
+because Mosaic's dynamic-slice alignment granule is 8 rows vs bf16's 16),
+keypoint coordinates ride the scalar-prefetch channel (SMEM), and each
+grid step copies KB windows out with 2-D dynamic slices that never touch
+HBM.  HBM traffic collapses to
 one image read + the (K, nr, nc) result write.
 
 Replaces `extract_row_strips` (stereo SAD strips) and `extract_patches`

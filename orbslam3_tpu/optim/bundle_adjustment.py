@@ -126,7 +126,18 @@ def bundle_adjust(
     window in tens of ms where the NumPy loop takes seconds) for pinhole
     cameras; the NumPy path remains the spec and the fallback (and the only
     path for fisheye)."""
-    if type(pr.camera).__name__ == "Pinhole" and len(pr.cam_idx):
+    from orbslam3_tpu.cameras.models import Pinhole
+
+    # native path iff the projection IS pinhole math (Pinhole.project never
+    # applies distortion — coefficients only drive keypoint undistortion);
+    # `no_native = True` on the camera opts out explicitly (tests use it to
+    # force the NumPy spec path)
+    use_native = (
+        isinstance(pr.camera, Pinhole)
+        and not getattr(pr.camera, "no_native", False)
+        and len(pr.cam_idx)
+    )
+    if use_native:
         from orbslam3_tpu import native
 
         if native.available():

@@ -186,6 +186,19 @@ def refresh_points(mps, descriptors: bool = True) -> None:
     mps = [mp for mp in mps if mp is not None and not mp.bad and mp.observations]
     if not mps:
         return
+    if descriptors:
+        # The batched descriptor pass pads every group to the batch-wide max
+        # observation count; a single long-lived landmark with ~100 obs would
+        # inflate the (G, nmax, nmax, 32) XOR tensor to hundreds of MB.
+        # Heavily-observed points take the per-point path instead.
+        heavy = [mp for mp in mps if len(mp.observations) > 24]
+        if heavy:
+            for mp in heavy:
+                mp.compute_distinctive_descriptor()
+                mp.update_normal_and_depth()
+            mps = [mp for mp in mps if len(mp.observations) <= 24]
+            if not mps:
+                return
     g_count = len(mps)
     pos = np.empty((g_count, 3))
     centers: list[np.ndarray] = []

@@ -89,13 +89,11 @@ def test_ba_native_matches_numpy_spec():
         pytest.skip("native lib unavailable")
     pr, _, _ = _synthetic_ba()
 
-    class PinholeNoNative(Pinhole):  # name-gated: routes to the NumPy path
-        pass
-
     pr_np = BAProblem(**{**pr.__dict__})
-    pr_np.camera = PinholeNoNative(
+    pr_np.camera = Pinhole(
         [pr.camera.fx, pr.camera.fy, pr.camera.cx, pr.camera.cy]
     )
+    pr_np.camera.no_native = True  # explicit opt-out -> NumPy spec path
     poses_n, pts_n, chi2_n = bundle_adjust(pr, n_iters=15)
     poses_p, pts_p, chi2_p = bundle_adjust(pr_np, n_iters=15)
     for a, b in zip(poses_n, poses_p):
