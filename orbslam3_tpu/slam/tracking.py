@@ -487,8 +487,8 @@ class Tracking:
         self.local_mps = []
         mp_seen = set()
         for kf in self.local_kfs:
-            for _, mp in kf.get_map_point_indices():
-                if mp.id not in mp_seen:
+            for mp in kf.map_points:  # inline: this loop runs ~50k/frame
+                if mp is not None and not mp.bad and mp.id not in mp_seen:
                     mp_seen.add(mp.id)
                     self.local_mps.append(mp)
 
