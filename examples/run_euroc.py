@@ -92,6 +92,7 @@ def main(seq_dir: str, settings_path: str, voc_path: str | None = None,
     slam.save_trajectory_tum("CameraTrajectory.txt")
     slam.save_keyframe_trajectory_tum("KeyFrameTrajectory.txt")
     slam.shutdown()
+    return slam
 
 
 if __name__ == "__main__":

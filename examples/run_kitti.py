@@ -48,6 +48,7 @@ def main(seq_dir: str, settings_path: str, voc_path: str | None = None):
 
     print(f"median track {np.median(t_track)*1e3:.1f} ms; "
           f"wrote CameraTrajectory.txt")
+    return slam
 
 
 if __name__ == "__main__":
