@@ -128,6 +128,67 @@ def test_run_euroc_driver(tmp_path, monkeypatch):
     assert rmse < 0.02, f"ATE RMSE {rmse*100:.2f} cm through the file driver"
 
 
+_TBC = SE3(
+    quat_to_rot(np.array([0.0071, -0.0041, 0.7071, 0.7071])),
+    np.array([-0.0216, -0.0647, 0.0098]),
+)  # EuRoC-like camera-in-body extrinsics (x_b = Tbc x_c)
+
+
+@pytest.mark.slow
+def test_run_euroc_stereo_inertial_driver(tmp_path, monkeypatch):
+    """Stereo-inertial through the file driver: imu0/data.csv parsing, the
+    per-frame (prev, t] sample windowing, and preintegration attachment."""
+    from orbslam3_tpu.utils.synth import imu_samples_between
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+    import run_euroc
+
+    frames = stereo_sequence(
+        16, CAM_L, BASELINE, H, W, seed=3, camera_r=CAM_R, T_rl=T_RL
+    )
+    seq = str(tmp_path / "mav0")
+    _write_euroc_tree(seq, frames)
+    t0_ns = int(1403636579 * 1e9)
+    os.makedirs(os.path.join(seq, "imu0"))
+    with open(os.path.join(seq, "imu0", "data.csv"), "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["#timestamp [ns]", "w_RS_S_x", "w_RS_S_y", "w_RS_S_z",
+                    "a_RS_S_x", "a_RS_S_y", "a_RS_S_z"])
+        for k in range(15):
+            acc, gyro, dts = imu_samples_between(k, k + 1, Tbc=_TBC)
+            t = t0_ns + int(k / 20.0 * 1e9)
+            for a, g, dt in zip(acc, gyro, dts):
+                t += int(dt * 1e9)
+                w.writerow([t, *g, *a])
+
+    yaml_path = str(tmp_path / "EuRoC_VI.yaml")
+    _euroc_yaml(yaml_path)
+    tbc = np.eye(4)
+    tbc[:3, :3] = _TBC.R
+    tbc[:3, 3] = _TBC.t
+    tbc_data = ",".join(f"{v:.12f}" for v in tbc.reshape(-1))
+    with open(yaml_path, "a") as f:
+        f.write(f"""IMU.NoiseGyro: 1.7e-4
+IMU.NoiseAcc: 2.0e-3
+IMU.GyroWalk: 1.9e-5
+IMU.AccWalk: 3.0e-3
+IMU.Frequency: 200
+IMU.T_b_c1: !!opencv-matrix
+  rows: 4
+  cols: 4
+  dt: f
+  data: [{tbc_data}]
+""")
+    monkeypatch.chdir(tmp_path)
+    slam = run_euroc.main(seq, yaml_path, None, "stereo-inertial")
+    lines = [l for l in open(tmp_path / "CameraTrajectory.txt") if l.strip()]
+    assert len(lines) == 16
+    # IMU flowed: the last keyframe carries a preintegration spanning > 0 s
+    kf = slam.tracker.last_kf
+    assert kf is not None and kf.imu_preint is not None
+    assert kf.imu_preint.dT > 0.01
+
+
 @pytest.mark.slow
 def test_run_kitti_driver(tmp_path, monkeypatch):
     """KITTI layout: rectified stereo, image_0/image_1 + times.txt, KITTI
