@@ -13,12 +13,17 @@ import numpy as np
 from orbslam3_tpu.optim.bundle_adjustment import BAProblem, bundle_adjust
 
 
-def global_bundle_adjustment(m, n_iters: int = 10) -> int:
-    """Full-map visual BA, first KF fixed.  Returns #poses optimized."""
+def solve_global_ba(m, n_iters: int = 10):
+    """Snapshot the map and solve full-map visual BA WITHOUT writing back.
+
+    Returns None, or (kfs, poses, mps, points, fixed_mask) for
+    `apply_global_ba` — the split lets a transient GBA thread solve outside
+    the map lock (RunGlobalBundleAdjustment role,
+    /root/reference/src/LoopClosing3.cc:520)."""
     kfs = [k for k in m.get_all_keyframes() if not k.bad]
     mps = [mp for mp in m.get_all_map_points() if not mp.bad]
     if len(kfs) < 2 or len(mps) < 20:
-        return 0
+        return None
     kf_slot = {k: i for i, k in enumerate(kfs)}
     cam_idx, pt_idx, uv, ur, is2 = [], [], [], [], []
     for j, mp in enumerate(mps):
@@ -34,7 +39,7 @@ def global_bundle_adjustment(m, n_iters: int = 10) -> int:
             ur.append(k.u_right[i])
             is2.append(k.inv_level_sigma2[k.octave[i]])
     if len(cam_idx) < 50:
-        return 0
+        return None
     fixed = np.zeros(len(kfs), bool)
     fixed[0] = True
     pr = BAProblem(
@@ -50,14 +55,61 @@ def global_bundle_adjustment(m, n_iters: int = 10) -> int:
         mbf=kfs[0].mbf,
     )
     poses, points, chi2 = bundle_adjust(pr, n_iters=n_iters)
-    for k, p in zip(kfs, poses):
-        if not pr.fixed_cams[kf_slot[k]]:
-            k.set_pose(p)
+    return kfs, poses, mps, points, fixed
+
+
+def apply_global_ba(m, solution) -> int:
+    """Write a solve_global_ba solution back, reconciling keyframes and map
+    points created WHILE the solve ran (the reference's mTcwGBA spanning-
+    tree propagation + reference-KF point correction,
+    /root/reference/src/LoopClosing3.cc:520+).  Caller holds the map lock."""
+    kfs, poses, mps, points, fixed = solution
+    in_snap = {k.id for k in kfs}
+    corr: dict = {}  # kf -> (Tcw_old, Tcw_gba)
+    for k, p, fx in zip(kfs, poses, fixed):
+        if not k.bad:
+            corr[k] = (k.Tcw.copy(), k.Tcw.copy() if fx else p)
+    # keyframes added during the solve: Tcw_gba = Tcw*Twc_parent*Tcw_gba_par
+    new_kfs = [k for k in m.get_all_keyframes()
+               if not k.bad and k.id not in in_snap]
+    new_kfs.sort(key=lambda k: k.id)  # parents precede children
+    for k in new_kfs:
+        par = k.parent
+        if par is None or par not in corr:
+            continue
+        t_old_par, t_gba_par = corr[par]
+        corr[k] = (k.Tcw.copy(), (k.Tcw * t_old_par.inverse()) * t_gba_par)
+    snap_pts = {mp.id for mp in mps}
+    for k, (_, t_gba) in corr.items():
+        k.set_pose(t_gba)
+    refreshed = []
     for mp, pos in zip(mps, points):
-        mp.position = pos
-        mp.update_normal_and_depth()
+        if not mp.bad:
+            mp.position = pos
+            refreshed.append(mp)
+    # points created during the solve move with their reference keyframe
+    for mp in m.get_all_map_points():
+        if mp.bad or mp.id in snap_pts:
+            continue
+        ref = mp.ref_kf
+        if ref is None or ref not in corr:
+            continue
+        t_old, t_gba = corr[ref]
+        mp.position = t_gba.inverse() * (t_old * mp.position)
+        refreshed.append(mp)
+    from orbslam3_tpu.slam.map_point import refresh_points
+
+    refresh_points(refreshed, descriptors=False)
     m.info_changed()
     return len(kfs)
+
+
+def global_bundle_adjustment(m, n_iters: int = 10) -> int:
+    """Full-map visual BA, first KF fixed.  Returns #poses optimized."""
+    sol = solve_global_ba(m, n_iters=n_iters)
+    if sol is None:
+        return 0
+    return apply_global_ba(m, sol)
 
 
 def full_inertial_ba(m, calib, n_alternations: int = 2, opt_scale: bool = False,

@@ -207,8 +207,8 @@ class KeyFrame:
     # --- lifecycle -------------------------------------------------------
     def set_bad(self):
         """Remove from graph, reparent children (KeyFrame::SetBadFlag)."""
-        if self.id == 0:
-            return
+        if self.map is not None and self.id == self.map.init_kf_id:
+            return  # the map's initial KF is never erased (GetInitKFid role)
         if self.not_erase:
             self.to_be_erased = True
             return

@@ -517,7 +517,7 @@ class LocalMapping:
     def _cull_keyframes(self, kf):
         """Drop KFs with >=90% redundant observations (LocalMapping.cc:902)."""
         for k in kf.get_best_covisibility_keyframes(100):
-            if k.bad or k.id == 0:
+            if k.bad or k.id == (k.map.init_kf_id if k.map is not None else 0):
                 continue
             n_mps, n_redundant = 0, 0
             th_obs = 3

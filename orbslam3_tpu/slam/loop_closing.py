@@ -13,6 +13,7 @@ deferred to the relocalization-based recovery path.
 from __future__ import annotations
 
 import queue
+import threading
 
 import numpy as np
 
@@ -78,6 +79,10 @@ class LoopClosing:
 
     def request_finish(self):
         self.finished = True
+        # let an in-flight transient GBA write back before shutdown
+        t = getattr(self, "_gba_thread", None)
+        if t is not None and t.is_alive():
+            t.join()
 
     def _handle(self, kf):
         result = self.detect_loop(kf)
@@ -88,6 +93,11 @@ class LoopClosing:
             # race with concurrent triangulation/fusion on the same map,
             # then take the map-update lock to exclude a concurrent Track()
             # (mMutexMapUpdate role, Tracking3.cc:135)
+            # abort any in-flight transient GBA FIRST (reference CorrectLoop
+            # order: mbStopGBA before RequestStop) — joining it after taking
+            # the mapper pause lock would deadlock against the GBA thread's
+            # own request_stop()
+            self._abort_running_gba()
             mapper = self.local_mapper
             if mapper is not None:
                 mapper.request_stop()
@@ -536,13 +546,60 @@ class LoopClosing:
     def _global_ba(self, m, kf):
         """Full-map BA after a correction: visual (GlobalBundleAdjustemnt
         role) or, on VI-initialized maps with a known calib, the inertial
-        variant (FullInertialBA role) — see optim/global_ba.py."""
+        variant (FullInertialBA role) — see optim/global_ba.py.
+
+        Sequential mode runs inline (deterministic).  Threaded mode spawns
+        the reference's TRANSIENT GBA thread (RunGlobalBundleAdjustment,
+        /root/reference/src/LoopClosing3.cc:520): the solve runs outside the
+        map lock while tracking/mapping continue; the write-back then takes
+        the lock and reconciles keyframes/points created meanwhile via the
+        spanning tree (apply_global_ba).  A newer correction aborts an
+        in-flight GBA before it writes (mbStopGBA role)."""
         from orbslam3_tpu.optim.global_ba import (
+            apply_global_ba,
             full_inertial_ba,
             global_bundle_adjustment,
+            solve_global_ba,
         )
 
-        if getattr(m, "imu_initialized", False) and self.imu_calib is not None:
-            full_inertial_ba(m, self.imu_calib)
-        else:
-            global_bundle_adjustment(m)
+        inertial = getattr(m, "imu_initialized", False) and self.imu_calib is not None
+        if self.sequential:
+            if inertial:
+                full_inertial_ba(m, self.imu_calib)
+            else:
+                global_bundle_adjustment(m)
+            return
+
+        self._abort_running_gba()
+        self._gba_abort = False
+
+        def run():
+            if inertial:
+                # the inertial chain pass mutates states as it solves: run
+                # it under the lock (off-thread, but exclusive)
+                with m.update_lock:
+                    if not self._gba_abort and m in self.atlas.get_all_maps():
+                        full_inertial_ba(m, self.imu_calib)
+                return
+            sol = solve_global_ba(m)
+            if sol is None or self._gba_abort:
+                return
+            if self.local_mapper is not None:
+                self.local_mapper.request_stop()
+            try:
+                with m.update_lock:
+                    if not self._gba_abort and m in self.atlas.get_all_maps():
+                        apply_global_ba(m, sol)
+            finally:
+                if self.local_mapper is not None:
+                    self.local_mapper.resume()
+
+        self._gba_thread = threading.Thread(target=run, daemon=True)
+        self._gba_thread.start()
+
+    def _abort_running_gba(self):
+        """Abort + join an in-flight transient GBA (mbStopGBA role)."""
+        t = getattr(self, "_gba_thread", None)
+        if t is not None and t.is_alive():
+            self._gba_abort = True
+            t.join()

@@ -53,6 +53,10 @@ class Map:
 
     def add_keyframe(self, kf):
         with self.lock:
+            if not self.keyframes:
+                # per-map initial keyframe (Map::GetInitKFid role) — culling
+                # and SetBadFlag protect it, not the process-global id 0
+                self.init_kf_id = kf.id
             self.keyframes.add(kf)
             if kf.id > self.max_kf_id:
                 self.max_kf_id = kf.id

@@ -209,14 +209,18 @@ def refresh_points(mps, descriptors: bool = True) -> None:
     ocen: list[int] = []
     for g, mp in enumerate(mps):
         pos[g] = mp.position
+        # the per-point method touches camera centers only when ref_kf is
+        # set (update_normal_and_depth early-returns otherwise)
+        need_norm = getattr(mp, "ref_kf", None) is not None
         for kf, (left, right) in mp.observations.items():
-            ci = cidx.get(id(kf))
-            if ci is None:
-                ci = len(centers)
-                cidx[id(kf)] = ci
-                centers.append(kf.camera_center())
-            ogrp.append(g)
-            ocen.append(ci)
+            if need_norm:
+                ci = cidx.get(id(kf))
+                if ci is None:
+                    ci = len(centers)
+                    cidx[id(kf)] = ci
+                    centers.append(kf.camera_center())
+                ogrp.append(g)
+                ocen.append(ci)
             if descriptors and not kf.bad:
                 if left >= 0:
                     descs.append(kf.desc[left])
@@ -252,6 +256,8 @@ def refresh_points(mps, descriptors: bool = True) -> None:
                 mp.descriptor = choice[g].copy()
 
     # --- normals + scale-invariance depth range --------------------------
+    if not ogrp:
+        return
     og = np.asarray(ogrp)
     oc = np.asarray(ocen)
     cen = np.stack(centers)
