@@ -106,6 +106,31 @@ def main():
         print(f"mono    : {slope(lambda c: digest(extract_features(img + wiggle(c), P))):.3f} ms", flush=True)
     if want("stereo"):
         print(f"stereo  : {slope(lambda c: digest(extract_and_match_stereo(PAIR + wiggle(c), P)), n1=4, n2=24):.3f} ms", flush=True)
+    if want("stereoparts"):
+        from orbslam3_tpu.ops.extractor import detection_crops, extract_from_pyramid
+
+        def upto(stage):
+            def fn(c):
+                pair = PAIR + wiggle(c)
+                pyr_l = build_pyramid(pair[0], P)
+                pyr_r = build_pyramid(pair[1], P)
+                act_l, crops_l = detection_crops(pyr_l, P)
+                act_r, crops_r = detection_crops(pyr_r, P)
+                sl = detect_two_threshold_multi(crops_l + crops_r, P.ini_th_fast, P.min_th_fast)
+                if stage == "detect":
+                    return digest(sl)
+                feats = [
+                    extract_from_pyramid(pyr, P, dict(zip(act, s)))
+                    for pyr, act, s in (
+                        (pyr_l, act_l, sl[: len(act_l)]),
+                        (pyr_r, act_r, sl[len(act_l):]),
+                    )
+                ]
+                return digest(feats)
+            return fn
+
+        print(f"s:detect: {slope(upto('detect'), n1=4, n2=24):.3f} ms", flush=True)
+        print(f"s:feats : {slope(upto('feats'), n1=4, n2=24):.3f} ms", flush=True)
 
 
 if __name__ == "__main__":
