@@ -606,22 +606,44 @@ def fuse_scw(kf, scw, map_points, th: float = 4.0):
 
     tcw = SE3(scw.R, scw.t / scw.s)
     ow = tcw.inverse().t
+    cand = [
+        mp
+        for mp in map_points
+        if mp is not None and not mp.bad and kf not in mp.observations
+    ]
+    if not cand:
+        return 0
+    pw = np.stack([mp.position for mp in cand])
+    mind = np.asarray([mp.min_distance for mp in cand])
+    maxd = np.asarray([mp.max_distance for mp in cand])
+    normals = np.stack([mp.normal for mp in cand])
+    pc_all = pw @ tcw.R.T + tcw.t
+    z = pc_all[:, 2]
+    uv_all = kf.camera.project(np.where(z[:, None] > 1e-12, pc_all, [0, 0, 1.0]))
+    v = pw - ow
+    dist_all = np.sqrt((v * v).sum(axis=1))
+    ok = (
+        (z > 1e-12)
+        & (kf.min_x < uv_all[:, 0]) & (uv_all[:, 0] < kf.max_x)
+        & (kf.min_y < uv_all[:, 1]) & (uv_all[:, 1] < kf.max_y)
+        & (mind <= dist_all) & (dist_all <= maxd)
+        & ((v * normals).sum(axis=1) >= 0.5 * dist_all)
+    )
+    levels_all = np.clip(
+        np.ceil(
+            np.log(np.maximum(maxd / np.maximum(dist_all, 1e-9), 1e-12))
+            / kf.log_scale_factor
+        ),
+        0,
+        kf.n_levels - 1,
+    ).astype(np.int64)
     n_fused = 0
-    for mp in map_points:
-        if mp is None or mp.bad or kf in mp.observations:
+    for j in np.nonzero(ok)[0]:
+        mp = cand[j]
+        if mp.bad or kf in mp.observations:  # may change as we fuse
             continue
-        pc = tcw * mp.position
-        if pc[2] <= 0:
-            continue
-        uv = kf.camera.project(pc[None])[0]
-        if not (kf.min_x < uv[0] < kf.max_x and kf.min_y < uv[1] < kf.max_y):
-            continue
-        dist = np.linalg.norm(mp.position - ow)
-        if not (mp.min_distance <= dist <= mp.max_distance):
-            continue
-        if (mp.position - ow) @ mp.normal < 0.5 * dist:
-            continue
-        level = mp.predict_scale(dist, kf)
+        uv = uv_all[j]
+        level = int(levels_all[j])
         r = th * kf.scale_factors[level]
         idx = kf.features_in_area(uv[0], uv[1], r, level - 1, level + 1)
         if len(idx) == 0:
