@@ -19,6 +19,10 @@ import jax
 # jax_platforms="axon,cpu" regardless of the JAX_PLATFORMS env var; config
 # update after import is the reliable way to pin tests to the CPU mesh.
 jax.config.update("jax_platforms", "cpu")
+# CPU-backend XLA compiles dominate the fast tier's wall clock; the
+# persistent cache (keyed by HLO hash) cuts repeat runs to the test logic
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np
 import pytest
