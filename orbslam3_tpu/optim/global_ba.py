@@ -13,13 +13,12 @@ import numpy as np
 from orbslam3_tpu.optim.bundle_adjustment import BAProblem, bundle_adjust
 
 
-def solve_global_ba(m, n_iters: int = 10):
-    """Snapshot the map and solve full-map visual BA WITHOUT writing back.
+def build_global_ba(m):
+    """Snapshot the map into a BAProblem WITHOUT solving.
 
-    Returns None, or (kfs, poses, mps, points, fixed_mask) for
-    `apply_global_ba` — the split lets a transient GBA thread solve outside
-    the map lock (RunGlobalBundleAdjustment role,
-    /root/reference/src/LoopClosing3.cc:520)."""
+    Returns None or (kfs, mps, pr).  The transient GBA thread calls this
+    under the map lock + LocalMapping pause (the observation graph is
+    mutated by the mapper outside any lock), then solves lock-free."""
     kfs = [k for k in m.get_all_keyframes() if not k.bad]
     mps = [mp for mp in m.get_all_map_points() if not mp.bad]
     if len(kfs) < 2 or len(mps) < 20:
@@ -43,7 +42,7 @@ def solve_global_ba(m, n_iters: int = 10):
     fixed = np.zeros(len(kfs), bool)
     fixed[0] = True
     pr = BAProblem(
-        poses=[k.Tcw for k in kfs],
+        poses=[k.Tcw.copy() for k in kfs],
         points=np.stack([mp.position for mp in mps]),
         cam_idx=np.asarray(cam_idx),
         pt_idx=np.asarray(pt_idx),
@@ -54,21 +53,37 @@ def solve_global_ba(m, n_iters: int = 10):
         camera=kfs[0].camera,
         mbf=kfs[0].mbf,
     )
-    poses, points, chi2 = bundle_adjust(pr, n_iters=n_iters)
-    return kfs, poses, mps, points, fixed
+    return kfs, mps, pr
+
+
+def solve_global_ba(m, n_iters: int = 10):
+    """build_global_ba + solve; returns None or a solution tuple for
+    `apply_global_ba` (sequential convenience; the GBA thread splits the
+    phases so only the snapshot holds the locks)."""
+    built = build_global_ba(m)
+    if built is None:
+        return None
+    kfs, mps, pr = built
+    poses, points, _ = bundle_adjust(pr, n_iters=n_iters)
+    return kfs, poses, mps, points
 
 
 def apply_global_ba(m, solution) -> int:
     """Write a solve_global_ba solution back, reconciling keyframes and map
     points created WHILE the solve ran (the reference's mTcwGBA spanning-
     tree propagation + reference-KF point correction,
-    /root/reference/src/LoopClosing3.cc:520+).  Caller holds the map lock."""
-    kfs, poses, mps, points, fixed = solution
+    /root/reference/src/LoopClosing3.cc:520+).  Caller holds the map lock
+    (+ LocalMapping pause in threaded mode)."""
+    kfs, poses, mps, points = solution
     in_snap = {k.id for k in kfs}
     corr: dict = {}  # kf -> (Tcw_old, Tcw_gba)
-    for k, p, fx in zip(kfs, poses, fixed):
+    # fixed keyframes keep their SOLVE-TIME pose (bundle_adjust returns the
+    # snapshot pose unchanged for fixed cams) — NOT the current pose: if
+    # local BA moved the anchor during an off-thread solve, writing the new
+    # pose would offset the anchor from the solved, old-anchor-consistent map
+    for k, p in zip(kfs, poses):
         if not k.bad:
-            corr[k] = (k.Tcw.copy(), k.Tcw.copy() if fx else p)
+            corr[k] = (k.Tcw.copy(), p)
     # keyframes added during the solve: Tcw_gba = Tcw*Twc_parent*Tcw_gba_par
     new_kfs = [k for k in m.get_all_keyframes()
                if not k.bad and k.id not in in_snap]

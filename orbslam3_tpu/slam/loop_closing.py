@@ -78,8 +78,15 @@ class LoopClosing:
             self._handle(kf)
 
     def request_finish(self):
+        # flag only: the spin thread may be mid-_handle and could still
+        # spawn work; System.shutdown joins the spin thread FIRST, then
+        # calls join_gba() (the finished flag also downgrades any GBA
+        # requested after this point to inline execution)
         self.finished = True
-        # let an in-flight transient GBA write back before shutdown
+
+    def join_gba(self):
+        """Join an in-flight transient GBA so it writes back before
+        shutdown persistence reads the map."""
         t = getattr(self, "_gba_thread", None)
         if t is not None and t.is_alive():
             t.join()
@@ -559,11 +566,15 @@ class LoopClosing:
             apply_global_ba,
             full_inertial_ba,
             global_bundle_adjustment,
-            solve_global_ba,
         )
 
+        from orbslam3_tpu.optim.bundle_adjustment import bundle_adjust
+        from orbslam3_tpu.optim.global_ba import build_global_ba
+
         inertial = getattr(m, "imu_initialized", False) and self.imu_calib is not None
-        if self.sequential:
+        if self.sequential or self.finished:
+            # inline (deterministic; also the shutdown path — never spawn a
+            # thread that could outlive the join in System.shutdown)
             if inertial:
                 full_inertial_ba(m, self.imu_calib)
             else:
@@ -573,26 +584,43 @@ class LoopClosing:
         self._abort_running_gba()
         self._gba_abort = False
 
+        def paused_mapper():
+            import contextlib
+
+            @contextlib.contextmanager
+            def cm():
+                if self.local_mapper is not None:
+                    self.local_mapper.request_stop()
+                try:
+                    yield
+                finally:
+                    if self.local_mapper is not None:
+                        self.local_mapper.resume()
+
+            return cm()
+
         def run():
             if inertial:
-                # the inertial chain pass mutates states as it solves: run
-                # it under the lock (off-thread, but exclusive)
-                with m.update_lock:
+                # the inertial chain pass reads AND mutates the live graph:
+                # run it exclusively (off-thread, mapper paused + map lock —
+                # the mapper mutates observations outside the map lock)
+                with paused_mapper(), m.update_lock:
                     if not self._gba_abort and m in self.atlas.get_all_maps():
                         full_inertial_ba(m, self.imu_calib)
                 return
-            sol = solve_global_ba(m)
-            if sol is None or self._gba_abort:
+            # snapshot under the same exclusivity (build reads live
+            # observation dicts), then solve WITHOUT any lock
+            with paused_mapper(), m.update_lock:
+                built = build_global_ba(m)
+            if built is None or self._gba_abort:
                 return
-            if self.local_mapper is not None:
-                self.local_mapper.request_stop()
-            try:
-                with m.update_lock:
-                    if not self._gba_abort and m in self.atlas.get_all_maps():
-                        apply_global_ba(m, sol)
-            finally:
-                if self.local_mapper is not None:
-                    self.local_mapper.resume()
+            kfs, mps, pr = built
+            poses, points, _ = bundle_adjust(pr, n_iters=10)
+            if self._gba_abort:
+                return
+            with paused_mapper(), m.update_lock:
+                if not self._gba_abort and m in self.atlas.get_all_maps():
+                    apply_global_ba(m, (kfs, poses, mps, points))
 
         self._gba_thread = threading.Thread(target=run, daemon=True)
         self._gba_thread.start()

@@ -595,6 +595,43 @@ def search_by_sim3(kf1, kf2, s12, th: float = 7.5):
     return out
 
 
+def _fuse_prefilter(kf, tcw, ow, map_points):
+    """Vectorized projection/frustum/distance/view-cos/level gates shared
+    by fuse and fuse_scw; returns (cand, survivors, uv_all, z, levels)."""
+    cand = [
+        mp
+        for mp in map_points
+        if mp is not None and not mp.bad and kf not in mp.observations
+    ]
+    if not cand:
+        return cand, np.zeros(0, np.int64), None, None, None
+    pw = np.stack([mp.position for mp in cand])
+    mind = np.asarray([mp.min_distance for mp in cand])
+    maxd = np.asarray([mp.max_distance for mp in cand])
+    normals = np.stack([mp.normal for mp in cand])
+    pc = pw @ tcw.R.T + tcw.t
+    z = pc[:, 2]
+    uv_all = kf.camera.project(np.where(z[:, None] > 1e-12, pc, [0, 0, 1.0]))
+    v = pw - ow
+    dist_all = np.sqrt((v * v).sum(axis=1))
+    ok = (
+        (z > 1e-12)
+        & (kf.min_x < uv_all[:, 0]) & (uv_all[:, 0] < kf.max_x)
+        & (kf.min_y < uv_all[:, 1]) & (uv_all[:, 1] < kf.max_y)
+        & (mind <= dist_all) & (dist_all <= maxd)
+        & ((v * normals).sum(axis=1) >= 0.5 * dist_all)
+    )
+    levels = np.clip(
+        np.ceil(
+            np.log(np.maximum(maxd / np.maximum(dist_all, 1e-9), 1e-12))
+            / kf.log_scale_factor
+        ),
+        0,
+        kf.n_levels - 1,
+    ).astype(np.int64)
+    return cand, np.nonzero(ok)[0], uv_all, z, levels
+
+
 def fuse_scw(kf, scw, map_points, th: float = 4.0):
     """Sim3-guided fuse (ORBmatcher2.cc Fuse(KeyFrame*, Scw, vpPoints, th,
     vpReplacePoint) — used by LoopClosing::SearchAndFuse,
@@ -606,39 +643,11 @@ def fuse_scw(kf, scw, map_points, th: float = 4.0):
 
     tcw = SE3(scw.R, scw.t / scw.s)
     ow = tcw.inverse().t
-    cand = [
-        mp
-        for mp in map_points
-        if mp is not None and not mp.bad and kf not in mp.observations
-    ]
-    if not cand:
-        return 0
-    pw = np.stack([mp.position for mp in cand])
-    mind = np.asarray([mp.min_distance for mp in cand])
-    maxd = np.asarray([mp.max_distance for mp in cand])
-    normals = np.stack([mp.normal for mp in cand])
-    pc_all = pw @ tcw.R.T + tcw.t
-    z = pc_all[:, 2]
-    uv_all = kf.camera.project(np.where(z[:, None] > 1e-12, pc_all, [0, 0, 1.0]))
-    v = pw - ow
-    dist_all = np.sqrt((v * v).sum(axis=1))
-    ok = (
-        (z > 1e-12)
-        & (kf.min_x < uv_all[:, 0]) & (uv_all[:, 0] < kf.max_x)
-        & (kf.min_y < uv_all[:, 1]) & (uv_all[:, 1] < kf.max_y)
-        & (mind <= dist_all) & (dist_all <= maxd)
-        & ((v * normals).sum(axis=1) >= 0.5 * dist_all)
+    cand, survivors, uv_all, z, levels_all = _fuse_prefilter(
+        kf, tcw, ow, map_points
     )
-    levels_all = np.clip(
-        np.ceil(
-            np.log(np.maximum(maxd / np.maximum(dist_all, 1e-9), 1e-12))
-            / kf.log_scale_factor
-        ),
-        0,
-        kf.n_levels - 1,
-    ).astype(np.int64)
     n_fused = 0
-    for j in np.nonzero(ok)[0]:
+    for j in survivors:
         mp = cand[j]
         if mp.bad or kf in mp.observations:  # may change as we fuse
             continue
@@ -674,39 +683,11 @@ def fuse(kf, map_points, th: float = 3.0):
     the per-survivor grid walk + chi2/Hamming stays scalar)."""
     tcw = kf.Tcw
     ow = kf.camera_center()
-    cand = [
-        mp
-        for mp in map_points
-        if mp is not None and not mp.bad and kf not in mp.observations
-    ]
-    if not cand:
-        return 0
-    pw = np.stack([mp.position for mp in cand])
-    mind = np.asarray([mp.min_distance for mp in cand])
-    maxd = np.asarray([mp.max_distance for mp in cand])
-    normals = np.stack([mp.normal for mp in cand])
-    pc = pw @ tcw.R.T + tcw.t
-    z = pc[:, 2]
-    uv_all = kf.camera.project(np.where(z[:, None] > 1e-12, pc, [0, 0, 1.0]))
-    v = pw - ow
-    dist_all = np.sqrt((v * v).sum(axis=1))
-    ok = (
-        (z > 1e-12)
-        & (kf.min_x < uv_all[:, 0]) & (uv_all[:, 0] < kf.max_x)
-        & (kf.min_y < uv_all[:, 1]) & (uv_all[:, 1] < kf.max_y)
-        & (mind <= dist_all) & (dist_all <= maxd)
-        & ((v * normals).sum(axis=1) >= 0.5 * dist_all)
+    cand, survivors, uv_all, z, levels_all = _fuse_prefilter(
+        kf, tcw, ow, map_points
     )
-    levels_all = np.clip(
-        np.ceil(
-            np.log(np.maximum(maxd / np.maximum(dist_all, 1e-9), 1e-12))
-            / kf.log_scale_factor
-        ),
-        0,
-        kf.n_levels - 1,
-    ).astype(np.int64)
     n_fused = 0
-    for j in np.nonzero(ok)[0]:
+    for j in survivors:
         mp = cand[j]
         if mp.bad or kf in mp.observations:  # may change as we fuse
             continue

@@ -607,6 +607,10 @@ class System:
             self.loop_closer.request_finish()
         if self._loop_thread is not None:
             self._loop_thread.join(timeout=5)
+        if self.loop_closer is not None:
+            # after the spin thread stops (no new spawns), let an in-flight
+            # transient GBA write back before the atlas is persisted
+            self.loop_closer.join_gba()
         st = getattr(self, "settings", None)
         if st is not None and st.save_atlas:
             self.save_atlas(st.save_atlas)

@@ -21,7 +21,9 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 # CPU-backend XLA compiles dominate the fast tier's wall clock; the
 # persistent cache (keyed by HLO hash) cuts repeat runs to the test logic
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update(
+    "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp")
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np

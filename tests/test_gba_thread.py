@@ -91,18 +91,21 @@ def test_transient_gba_thread_runs_joins_and_aborts():
     lc.sequential = False
     lc._global_ba(m, None)
     assert lc._gba_thread is not None
-    lc.request_finish()            # joins the in-flight GBA
+    lc.request_finish()   # flag only (shutdown joins the spin thread first)
+    lc.join_gba()         # then lets the in-flight GBA write back
     assert not lc._gba_thread.is_alive()
     # the write-back kept the observation graph consistent
     for mp in m.get_all_map_points():
         for kf, (left, right) in mp.observations.items():
             idx = left if left >= 0 else right
             assert kf.map_points[idx] is mp
-    # abort path: a newer correction kills the previous thread before apply
+    # abort path: a newer correction joins the previous thread before it
+    # can write (the abort flag is only raised if it was still in flight,
+    # so assert only the join)
     lc.finished = False
     lc._global_ba(m, None)
     lc._abort_running_gba()
-    assert not lc._gba_thread.is_alive() and lc._gba_abort
+    assert not lc._gba_thread.is_alive()
 
 
 def test_apply_global_ba_reconciles_new_kfs_and_points():
@@ -124,8 +127,7 @@ def test_apply_global_ba_reconciles_new_kfs_and_points():
     t_corr = SE3(so3_exp(np.array([0.0, 0.0, 0.03])), np.array([0.1, -0.05, 0.02]))
     gba_poses = [kfs[0].Tcw.copy()] + [k.Tcw * t_corr.inverse() for k in kfs[1:]]
     gba_points = np.stack([t_corr * mp.position for mp in mps])
-    fixed = np.array([True, False, False])
-    solution = (list(kfs), gba_poses, list(mps), gba_points, fixed)
+    solution = (list(kfs), gba_poses, list(mps), gba_points)
 
     # ...meanwhile a keyframe and two points were created during the solve
     t_rel = SE3(so3_exp(np.array([0.01, 0.0, 0.0])), np.array([0.25, 0.0, 0.01]))
