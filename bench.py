@@ -40,6 +40,16 @@ def main() -> None:
     # variant; cached reruns keep the whole benchmark under the driver timeout
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # the axon relay occasionally drops for minutes; ride out short outages
+    # instead of failing the whole benchmark run
+    for attempt in range(6):
+        try:
+            jax.devices()
+            break
+        except Exception:
+            if attempt == 5:
+                raise
+            time.sleep(60)
     import jax.numpy as jnp
 
     from orbslam3_tpu.oracle.orb_cpu import PyramidParams
