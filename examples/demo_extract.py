@@ -4,8 +4,17 @@ Usage: python examples/demo_extract.py
 """
 import time
 
+import os
+
 import numpy as np
 import jax
+
+# persistent compile cache: first run pays the full compile (~20-40 s/program
+# on TPU, minutes on CPU); reruns start in seconds
+jax.config.update(
+    "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp")
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from orbslam3_tpu.oracle.orb_cpu import PyramidParams
 from orbslam3_tpu.ops.extractor import (

@@ -1,0 +1,50 @@
+"""On-device Pallas == XLA parity smoke (VERDICT r2 item 2).
+
+CI pins the CPU backend (conftest.py) and exercises the Mosaic kernels only
+in interpret mode; this test drives `bench.py --verify` in a fresh
+subprocess — which initializes the real axon TPU backend — and asserts the
+round-2 Pallas kernels (ops/window_gather.py, ops/fast.py; reference roles
+src/OpenCL/Kernel/Orb.cl:27-30, Angle.cl:5-62, TileCalcKeypoints.cl:288)
+are bit-exact against their XLA fallbacks ON HARDWARE.
+
+Skips (does not fail) when the relay is unreachable: relay outages are an
+environment condition, not a code defect.  Marked both `slow` and `tpu`.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = [pytest.mark.slow, pytest.mark.tpu]
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_pallas_parity_on_tpu():
+    env = dict(os.environ)
+    # a fresh interpreter picks up the axon plugin; drop any CPU pin
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(_REPO, "bench.py"), "--verify"],
+            capture_output=True,
+            text=True,
+            timeout=600,
+            env=env,
+            cwd=_REPO,
+        )
+    except subprocess.TimeoutExpired:
+        pytest.skip("TPU relay unreachable (verify subprocess timed out)")
+    lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        pytest.skip(f"no JSON from --verify (relay down?): {proc.stderr[-400:]}")
+    res = json.loads(lines[-1])
+    if res.get("backend") != "tpu":
+        pytest.skip(f"backend is {res.get('backend')}, not tpu")
+    assert res["window_gather_exact"], res
+    assert res["fast_score_exact"], res
+    assert res["ok"], res
