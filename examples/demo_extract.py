@@ -15,6 +15,10 @@ jax.config.update(
     "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp")
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# honor JAX_PLATFORMS even when a TPU plugin force-registers itself (the
+# axon plugin overrides the env var; config.update after import wins)
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 from orbslam3_tpu.oracle.orb_cpu import PyramidParams
 from orbslam3_tpu.ops.extractor import (

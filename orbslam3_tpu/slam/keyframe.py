@@ -52,6 +52,12 @@ class KeyFrame:
 
         self.Tcw = frame.Tcw.copy()
         self.map_points = frame.map_points.copy()
+        # bumped on every map_points slot mutation (add/erase here, and the
+        # direct writes in MapPoint.set_bad/replace); invalidates the
+        # valid-point cache and the tracker's local-map union cache
+        self._mp_version = 0
+        self._mp_cache_ver = -1
+        self._mp_cache: list = []
 
         # covisibility
         self.connected_weights: dict[KeyFrame, int] = {}
@@ -186,9 +192,19 @@ class KeyFrame:
     # --- map points -----------------------------------------------------
     def add_map_point(self, mp, idx: int):
         self.map_points[idx] = mp
+        self._mp_version += 1
 
     def erase_map_point_index(self, idx: int):
         self.map_points[idx] = None
+        self._mp_version += 1
+
+    def get_valid_map_points(self) -> list:
+        """Cached non-None map-point slots (may contain duplicates for
+        left/right stereo slots of the same point; callers dedup)."""
+        if self._mp_cache_ver != self._mp_version:
+            self._mp_cache = [mp for mp in self.map_points if mp is not None]
+            self._mp_cache_ver = self._mp_version
+        return self._mp_cache
 
     def tracked_map_points(self, min_obs: int) -> int:
         c = 0

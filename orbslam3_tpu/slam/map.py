@@ -16,6 +16,97 @@ import numpy as np
 from orbslam3_tpu.utils.lie import SE3
 
 
+class LandmarkTable:
+    """Contiguous per-map mirror of hot landmark attributes.
+
+    The tracking hot loops (_search_local_points, _optimize_current_pose,
+    the projection matchers) need (position, normal, distance range,
+    descriptor, n_obs) for thousands of map points every frame; np.stack
+    over per-object attributes was the single largest host-loop cost
+    (the reference keeps these as pointer graphs and pays the same walk,
+    /root/reference/src/Tracking4.cc:273+).  Map points attach on
+    Map.add_map_point, detach on erase, and write through from their
+    mutators (MapPoint property setters / _sync helpers), so a gather is
+    one fancy-index per array.
+
+    Slots are recycled: a detached point's slot may be reused, so slot
+    indices must be re-read from the MapPoint (`slots_of`) at use time,
+    never cached across mutations; `valid` guards the gap between a
+    detach and the next reuse.
+    """
+
+    def __init__(self, cap: int = 2048):
+        self.cap = cap
+        self.pos = np.zeros((cap, 3))
+        self.normal = np.zeros((cap, 3))
+        self.min_d = np.zeros(cap)
+        self.max_d = np.zeros(cap)
+        self.desc = np.zeros((cap, 32), np.uint8)
+        self.n_obs = np.zeros(cap, np.int32)
+        self.valid = np.zeros(cap, bool)
+        # frame-id stamp marking "already matched in frame X" (avoids a
+        # per-object attribute read when excluding in-frame points)
+        self.seen_stamp = np.full(cap, -1, np.int64)
+        self._free = list(range(cap - 1, -1, -1))
+
+    def _grow(self):
+        old = self.cap
+        self.cap = old * 2
+        for name in ("pos", "normal", "min_d", "max_d", "desc", "n_obs",
+                     "valid", "seen_stamp"):
+            a = getattr(self, name)
+            shape = (self.cap,) + a.shape[1:]
+            b = np.zeros(shape, a.dtype)
+            if name == "seen_stamp":
+                b[:] = -1
+            b[:old] = a
+            setattr(self, name, b)
+        self._free.extend(range(self.cap - 1, old - 1, -1))
+
+    def attach(self, mp) -> None:
+        # getattr: duck-typed stand-ins (tests) may lack the mirror fields
+        prev = getattr(mp, "_table", None)
+        if prev is self:
+            return
+        if prev is not None:
+            prev.detach(mp)
+        if not self._free:
+            self._grow()
+        s = self._free.pop()
+        self.pos[s] = mp.position
+        self.normal[s] = getattr(mp, "normal", 0.0)
+        self.min_d[s] = getattr(mp, "min_distance", 0.0)
+        self.max_d[s] = getattr(mp, "max_distance", 0.0)
+        desc = getattr(mp, "descriptor", None)
+        if desc is not None:
+            self.desc[s] = desc
+        self.n_obs[s] = getattr(mp, "n_obs", 0)
+        self.valid[s] = not getattr(mp, "bad", False)
+        self.seen_stamp[s] = -1
+        mp._table = self
+        mp._slot = s
+
+    def detach(self, mp) -> None:
+        if getattr(mp, "_table", None) is not self:
+            return
+        s = mp._slot
+        self.valid[s] = False
+        self._free.append(s)
+        mp._table = None
+        mp._slot = -1
+
+    def slots_of(self, mps) -> np.ndarray:
+        """Current slot per point; -1 where the point is not attached here."""
+        return np.fromiter(
+            (
+                mp._slot if getattr(mp, "_table", None) is self else -1
+                for mp in mps
+            ),
+            np.int64,
+            count=len(mps),
+        )
+
+
 class Map:
     _next_id = 0
 
@@ -39,6 +130,7 @@ class Map:
         # distinct from `lock`, which guards the containers fine-grained
         self.update_lock = threading.RLock()
         self.origin_kfs: list = []
+        self.landmarks = LandmarkTable()
 
     def __getstate__(self):
         state = self.__dict__.copy()
@@ -66,10 +158,12 @@ class Map:
     def add_map_point(self, mp):
         with self.lock:
             self.map_points.add(mp)
+            self.landmarks.attach(mp)
 
     def erase_map_point(self, mp):
         with self.lock:
             self.map_points.discard(mp)
+            self.landmarks.detach(mp)
 
     def erase_keyframe(self, kf):
         with self.lock:

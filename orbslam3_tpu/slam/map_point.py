@@ -26,6 +26,10 @@ class MapPoint:
     def __init__(self, position: np.ndarray, ref_kf, map_):
         self.id = MapPoint._next_id
         MapPoint._next_id += 1
+        # LandmarkTable mirror (set by Map.add_map_point/erase_map_point);
+        # must exist before the `position` property setter runs
+        self._table = None
+        self._slot = -1
         self.position = np.asarray(position, np.float64).copy()
         self.ref_kf = ref_kf
         self.map = map_
@@ -45,6 +49,40 @@ class MapPoint:
         self.last_frame_seen = -1
 
     # ------------------------------------------------------------------
+    # LandmarkTable write-through: `position` has ~10 writers across the
+    # optimizers/loop-closing, so it syncs via a property; normal/distance/
+    # descriptor/n_obs are written only inside this module and sync through
+    # the explicit _sync_* helpers at those sites.
+    @property
+    def position(self) -> np.ndarray:
+        return self._position
+
+    @position.setter
+    def position(self, v):
+        self._position = np.array(v, np.float64)
+        t = self._table
+        if t is not None:
+            t.pos[self._slot] = self._position
+
+    def _sync_geom(self):
+        t = self._table
+        if t is not None:
+            s = self._slot
+            t.normal[s] = self.normal
+            t.min_d[s] = self.min_distance
+            t.max_d[s] = self.max_distance
+
+    def _sync_desc(self):
+        t = self._table
+        if t is not None:
+            t.desc[self._slot] = self.descriptor
+
+    def _sync_nobs(self):
+        t = self._table
+        if t is not None:
+            t.n_obs[self._slot] = self.n_obs
+
+    # ------------------------------------------------------------------
     def add_observation(self, kf, idx: int):
         left, right = self.observations.get(kf, (-1, -1))
         if idx >= kf.n_left:
@@ -54,6 +92,7 @@ class MapPoint:
         if self.observations.get(kf, (-1, -1)) == (-1, -1):
             self.n_obs += 2 if (left >= 0 and kf.u_right[left] >= 0) else 1
         self.observations[kf] = (left, right)
+        self._sync_nobs()
 
     def erase_observation(self, kf):
         if kf in self.observations:
@@ -62,6 +101,7 @@ class MapPoint:
                 self.n_obs -= 2
             else:
                 self.n_obs -= 1
+            self._sync_nobs()
             if self.ref_kf is kf and self.observations:
                 self.ref_kf = next(iter(self.observations))
             if self.n_obs <= 2:
@@ -76,6 +116,7 @@ class MapPoint:
                 kf.map_points[left] = None
             if right >= 0:
                 kf.map_points[right] = None
+            kf._mp_version = getattr(kf, "_mp_version", 0) + 1
         if self.map is not None:
             self.map.erase_map_point(self)
 
@@ -96,6 +137,7 @@ class MapPoint:
                     other.add_observation(kf, idx)
                 else:
                     kf.map_points[idx] = None
+            kf._mp_version = getattr(kf, "_mp_version", 0) + 1
         other.n_found += self.n_found
         other.n_visible += self.n_visible
         other.compute_distinctive_descriptor()
@@ -123,6 +165,7 @@ class MapPoint:
             return
         if len(descs) == 1:
             self.descriptor = descs[0].copy()
+            self._sync_desc()
             return
         d = np.asarray(descs)
         dist = hamming_rows(d, d)
@@ -131,6 +174,7 @@ class MapPoint:
         m = (len(descs) - 1) // 2
         med = np.partition(dist, m, axis=1)[:, m]
         self.descriptor = d[int(np.argmin(med))].copy()
+        self._sync_desc()
 
     def update_normal_and_depth(self):
         if not self.observations or self.ref_kf is None:
@@ -156,6 +200,7 @@ class MapPoint:
         n_levels = self.ref_kf.n_levels
         self.max_distance = dist * factor
         self.min_distance = self.max_distance / self.ref_kf.scale_factors[n_levels - 1]
+        self._sync_geom()
 
     def predict_scale(self, dist: float, frame) -> int:
         """Octave the point would be detected at (MapPoint::PredictScale)."""
@@ -254,6 +299,9 @@ def refresh_points(mps, descriptors: bool = True) -> None:
         for g, mp in enumerate(mps):
             if counts[g] > 0:
                 mp.descriptor = choice[g].copy()
+                sync = getattr(mp, "_sync_desc", None)  # duck-typed stand-ins
+                if sync is not None:
+                    sync()
 
     # --- normals + scale-invariance depth range --------------------------
     if not ogrp:
@@ -287,3 +335,6 @@ def refresh_points(mps, descriptors: bool = True) -> None:
         level = int(ref.octave[idx]) if idx < ref.n else 0
         mp.max_distance = dist_r * ref.scale_factors[level]
         mp.min_distance = mp.max_distance / ref.scale_factors[ref.n_levels - 1]
+        sync = getattr(mp, "_sync_geom", None)  # duck-typed stand-ins
+        if sync is not None:
+            sync()

@@ -82,10 +82,36 @@ def _rotation_consistency(rot: np.ndarray, valid_idx: list[int]) -> set[int]:
     return {i for i, b in zip(valid_idx, bins) if b in keep_bins}
 
 
-def search_by_projection_local_map(frame, map_points, th: float = 1.0, ratio: float = 0.8,
-                                   far_points_th: float = 0.0):
-    """Match frame keypoints to local map points already marked in-view
-    (ORBmatcher SearchByProjection, Frame vs vector<MapPoint*>).
+def _occupied_mask(frame) -> np.ndarray:
+    """(n,) uint8: slot already holds a map-anchored (n_obs > 0) point.
+
+    Landmark-table gather where possible; unattached points are temporal
+    VO points, which have n_obs == 0 by construction."""
+    objs = frame.map_points
+    occ = np.zeros(len(objs), np.uint8)
+    nz = np.nonzero(objs != None)[0]  # noqa: E711 — elementwise over objects
+    if len(nz) == 0:
+        return occ
+    mps = [objs[i] for i in nz]
+    table = next(
+        (t for t in (getattr(mp, "_table", None) for mp in mps) if t is not None),
+        None,
+    )
+    if table is None:
+        occ[nz] = np.fromiter((mp.n_obs > 0 for mp in mps), bool, len(mps))
+        return occ
+    slots = table.slots_of(mps)
+    att = slots >= 0
+    occ[nz[att]] = table.n_obs[slots[att]] > 0
+    return occ
+
+
+def search_by_projection_cands(frame, cands, proj, n_obs, desc,
+                               th: float = 1.0, ratio: float = 0.8):
+    """Core of SearchByProjection(Frame, local map) over precomputed
+    candidate arrays: `proj` (K, 5) = (u, v, ur, level, view_cos), `n_obs`
+    (K,), `desc` (K, 32) — produced either by the tracker's batched
+    landmark-table frustum pass or by the attribute-based wrapper below.
     Returns number of new matches; writes frame.map_points.
 
     Runs the native C++ kernel when available (bit-identical walk order and
@@ -93,18 +119,14 @@ def search_by_projection_local_map(frame, map_points, th: float = 1.0, ratio: fl
     stage); falls back to the Python walk otherwise."""
     from orbslam3_tpu import native
 
+    if len(cands) == 0:
+        return 0
     if native.available():
-        cands = [mp for mp in map_points if mp.track_in_view and not mp.bad]
-        if not cands:
-            return 0
-        proj = np.asarray([mp.track_proj for mp in cands], np.float32)
-        mp_desc = np.stack([mp.descriptor for mp in cands])
-        mp_obs = np.asarray([mp.n_obs > 0 for mp in cands], np.uint8)
-        occupied = np.asarray(
-            [p is not None and p.n_obs > 0 for p in frame.map_points], np.uint8
-        )
+        occupied = _occupied_mask(frame)
         res = native.project_match_local(
-            proj, mp_desc, mp_obs,
+            np.ascontiguousarray(proj, np.float32),
+            np.ascontiguousarray(desc, np.uint8),
+            (np.asarray(n_obs) > 0).astype(np.uint8),
             frame.kps_un, frame.octave, frame.desc, frame.u_right, occupied,
             frame.scale_factors, th, ratio, MATCH_TH,
             frame.min_x, frame.min_y, frame._grid_w, frame._grid_h,
@@ -117,19 +139,17 @@ def search_by_projection_local_map(frame, map_points, th: float = 1.0, ratio: fl
                 n_matched += 1
             return n_matched
     n_matched = 0
-    for mp in map_points:
-        if not mp.track_in_view or mp.bad:
-            continue
-        u, v, ur, level, view_cos = mp.track_proj
+    for j, mp in enumerate(cands):
+        u, v, ur, level, view_cos = proj[j]
+        level = int(level)
         r = 2.5 if view_cos > 0.998 else 4.0
         r *= th * frame.scale_factors[level]
         idx = frame.features_in_area(u, v, r, level - 1, level)
         if len(idx) == 0:
             continue
-        d_mp = mp.descriptor
         best, best2 = 256, 256
         best_i, best_lvl, best2_lvl = -1, -1, -1
-        dists = desc_distances(d_mp, frame.desc[idx])
+        dists = desc_distances(np.asarray(desc[j], np.uint8), frame.desc[idx])
         for k_i, i in enumerate(idx):
             cur = frame.map_points[i]
             if cur is not None and cur.n_obs > 0:
@@ -151,6 +171,20 @@ def search_by_projection_local_map(frame, map_points, th: float = 1.0, ratio: fl
     return n_matched
 
 
+def search_by_projection_local_map(frame, map_points, th: float = 1.0, ratio: float = 0.8,
+                                   far_points_th: float = 0.0):
+    """Match frame keypoints to local map points already marked in-view
+    (ORBmatcher SearchByProjection, Frame vs vector<MapPoint*>): attribute
+    protocol (mp.track_in_view/mp.track_proj) wrapper over the array core."""
+    cands = [mp for mp in map_points if mp.track_in_view and not mp.bad]
+    if not cands:
+        return 0
+    proj = np.asarray([mp.track_proj for mp in cands], np.float32)
+    desc = np.stack([mp.descriptor for mp in cands])
+    n_obs = np.asarray([mp.n_obs for mp in cands], np.int32)
+    return search_by_projection_cands(frame, cands, proj, n_obs, desc, th, ratio)
+
+
 # Candidate count above which the dense device matcher beats the host
 # matcher for TrackLocalMap.  With the native C++ grid-walk
 # (native/orbslam3_native.cpp project_match_local) the host runs 1.1 ms at
@@ -164,36 +198,45 @@ DEVICE_MATCH_MIN = 30000
 
 def search_by_projection_local_map_device(frame, map_points, th: float = 1.0,
                                           ratio: float = 0.8):
+    """Attribute-protocol wrapper over the device-batched matcher core."""
+    cands = [mp for mp in map_points if mp.track_in_view and not mp.bad]
+    if not cands:
+        return 0
+    proj5 = np.asarray([mp.track_proj for mp in cands], np.float32)
+    desc = np.stack([mp.descriptor for mp in cands])
+    return search_by_projection_cands_device(frame, cands, proj5, desc, th, ratio)
+
+
+def search_by_projection_cands_device(frame, cands, proj5, desc,
+                                      th: float = 1.0, ratio: float = 0.8):
     """Device-batched TrackLocalMap matcher: one masked MXU Hamming matmul
     over every (in-view map point, frame keypoint) pair
     (ops/matching.search_by_projection_batch) instead of the per-point host
     grid walk.  Same gates: square window (2.5/4.0 view-cos radius x th x
     scale), [pred-1, pred] octave band, Hamming <= MATCH_TH, same-level
-    nn-ratio.  Writes frame.map_points; returns match count."""
+    nn-ratio.  `proj5` is (K, 5) = (u, v, ur, level, view_cos).
+    Writes frame.map_points; returns match count."""
     import jax.numpy as jnp
     import numpy as np_
 
     from orbslam3_tpu.ops import matching as dm
 
-    cands = [mp for mp in map_points if mp.track_in_view and not mp.bad]
-    if not cands:
+    if len(cands) == 0:
         return 0
     m = len(cands)
-    proj = np_.asarray([mp.track_proj[:2] for mp in cands], np_.float32)
-    level = np_.asarray([mp.track_proj[3] for mp in cands], np_.int32)
-    view_cos = np_.asarray([mp.track_proj[4] for mp in cands], np_.float32)
+    proj = np_.ascontiguousarray(proj5[:, :2], np_.float32)
+    level = proj5[:, 3].astype(np_.int32)
+    view_cos = proj5[:, 4].astype(np_.float32)
     radius = np_.where(view_cos > 0.998, 2.5, 4.0) * th * np_.asarray(
         frame.scale_factors, np_.float32
     )[level]
-    desc = np_.stack([mp.descriptor for mp in cands])
+    desc = np_.ascontiguousarray(desc, np_.uint8)
     # pad to shape buckets so jit caches stay warm across frames
     mb = int(np_.ceil(m / 1024) * 1024)
     kb = int(np_.ceil(frame.n / 512) * 512)
     pad_m = mb - m
     pad_k = kb - frame.n
-    occupied = np_.array(
-        [mp is not None and mp.n_obs > 0 for mp in frame.map_points], bool
-    )
+    occupied = _occupied_mask(frame).astype(bool)
     idx, best, matched = dm.search_by_projection_batch(
         jnp.asarray(np_.pad(proj, ((0, pad_m), (0, 0)))),
         jnp.asarray(np_.pad(level, (0, pad_m))),
@@ -243,17 +286,45 @@ def search_by_projection_last_frame(cur, last, th: float, mono: bool,
             pw = np.zeros((m, 3))
             mp_valid = np.zeros(m, np.uint8)
             mp_obs = np.zeros(m, np.uint8)
-            for i in range(m):
-                mp = last.map_points[i]
-                if mp is None or mp.bad or last.outlier[i]:
-                    continue
-                pw[i] = mp.position
-                mp_valid[i] = 1
-                mp_obs[i] = mp.n_obs > 0
-            occupied = np.asarray(
-                [p is not None and p.n_obs > 0 for p in cur.map_points],
-                np.uint8,
-            )
+            objs = last.map_points
+            outlier = last.outlier
+            sel_i = [
+                i for i in range(m)
+                if objs[i] is not None and not outlier[i]
+            ]
+            if sel_i:
+                mps_sel = [objs[i] for i in sel_i]
+                # real map points gather from the landmark table; temporal
+                # VO points (unattached) fall back to per-point reads
+                table = next(
+                    (
+                        t
+                        for t in (getattr(mp, "_table", None) for mp in mps_sel)
+                        if t is not None
+                    ),
+                    None,
+                )
+                idxs = np.asarray(sel_i)
+                if table is not None:
+                    slots = table.slots_of(mps_sel)
+                    att = slots >= 0
+                    good = att & table.valid[np.maximum(slots, 0)]
+                    ai, si = idxs[good], slots[good]
+                    pw[ai] = table.pos[si]
+                    mp_valid[ai] = 1
+                    mp_obs[ai] = table.n_obs[si] > 0
+                    rest = np.nonzero(~att)[0]
+                else:
+                    rest = np.arange(len(mps_sel))
+                for j in rest:
+                    mp = mps_sel[j]
+                    if mp.bad:
+                        continue
+                    i = int(idxs[j])
+                    pw[i] = mp.position
+                    mp_valid[i] = 1
+                    mp_obs[i] = mp.n_obs > 0
+            occupied = _occupied_mask(cur)
             res = native.project_match_last(
                 pw, last.desc, last.octave, mp_valid, mp_obs,
                 tcw.R, tcw.t,

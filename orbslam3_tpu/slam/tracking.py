@@ -78,6 +78,15 @@ class Tracking:
         self.only_tracking = False
         self.local_kfs: list[KeyFrame] = []
         self.local_mps: list[MapPoint] = []
+        # local-map union cache: (kf.id, kf._mp_version) fingerprint of
+        # local_kfs; while no member KF's map-point slots changed, the
+        # deduped union is reused across frames
+        self._local_map_key: list | None = None
+        # per-frame slot cache for local_mps: valid only within one frame
+        # (tracking holds the map update lock for the whole frame, so no
+        # attach/detach can reuse a slot mid-frame; cleared at frame start)
+        self._local_slots: np.ndarray | None = None
+        self._local_slots_table = None
         self.temporal_points: list[MapPoint] = []
         self.frames_since_lost = 0
 
@@ -93,6 +102,9 @@ class Tracking:
             # accumulate raw samples for the next keyframe's preintegration
             # (Tracking::PreintegrateIMU keeps mpImuPreintegratedFromLastKF)
             self._imu_meas_since_kf.extend(pre.measurements)
+        # slot caches are only valid while the update lock is held
+        self._local_slots = None
+        self._local_slots_table = None
         # map-update lock for the whole frame (Tracking3.cc:135): excludes
         # concurrent loop correction / merge in threaded mode; reentrant
         # no-op in sequential mode
@@ -382,18 +394,35 @@ class Tracking:
 
     def _optimize_current_pose(self, map_only: bool = False) -> int:
         f = self.current
-        idx = [
-            i
-            for i in range(f.n)
-            if f.map_points[i] is not None
-            and not f.map_points[i].bad
-            and not (map_only and f.map_points[i].n_obs == 0)
-        ]
-        if len(idx) < 3:
+        objs = f.map_points
+        nz = np.nonzero(objs != None)[0]  # noqa: E711 — elementwise over objects
+        if len(nz) < 3:
             return 0
-        idx = np.asarray(idx)
+        mps = [objs[i] for i in nz]
+        table = self.atlas.get_current_map().landmarks
+        slots = table.slots_of(mps)
+        att = slots >= 0
+        sl = np.maximum(slots, 0)
+        # attached: table.valid mirrors `not bad`; unattached (temporal VO
+        # points): per-point bad check.  map_only keeps map-anchored
+        # (n_obs > 0) points only — temporals are n_obs == 0 by definition.
+        good = att & table.valid[sl]
+        if not att.all():
+            for j in np.nonzero(~att)[0]:
+                good[j] = not mps[j].bad
+        if map_only:
+            good &= att & (table.n_obs[sl] > 0)
+        keep = np.nonzero(good)[0]
+        if len(keep) < 3:
+            return 0
+        idx = nz[keep]
+        p3d = table.pos[sl[keep]].copy()
+        if not att.all():
+            rows = np.nonzero(~att[keep])[0]
+            for r in rows:  # unattached survivors read their own position
+                p3d[r] = mps[keep[r]].position
         obs = PoseObservations(
-            p3d_w=np.stack([f.map_points[i].position for i in idx]),
+            p3d_w=p3d,
             obs_uv=f.kps_un[idx],
             obs_ur=f.u_right[idx],
             inv_sigma2=f.inv_level_sigma2[f.octave[idx]],
@@ -407,9 +436,7 @@ class Tracking:
         # truth-consistent matches that merely look bad from a drifted
         # intermediate pose, biasing later stages toward the drift).
         f.outlier[:] = False
-        for k, i in enumerate(idx):
-            if not inlier[k]:
-                f.outlier[i] = True
+        f.outlier[idx[~np.asarray(inlier, bool)]] = True
         return n_in
 
     # --- local map -------------------------------------------------------
@@ -484,17 +511,25 @@ class Tracking:
                 seen.add(kf.parent)
         self.ref_kf = kf_max
         f.ref_keyframe = kf_max
-        self.local_mps = []
-        mp_seen = set()
-        for kf in self.local_kfs:
-            for mp in kf.map_points:  # inline: this loop runs ~50k/frame
-                if mp is not None and not mp.bad and mp.id not in mp_seen:
-                    mp_seen.add(mp.id)
-                    self.local_mps.append(mp)
+        # Deduped union of the local KFs' points, cached across frames: it
+        # only changes when a member KF's slots change (tracked by
+        # _mp_version; MapPoint.set_bad/replace bump it too, so bad points
+        # never linger).  Consecutive frames usually share the local map
+        # and no mapping ran in between, so most frames hit the cache.
+        key = [(kf.id, kf._mp_version) for kf in self.local_kfs]
+        if key != self._local_map_key:
+            self._local_map_key = key
+            self.local_mps = list(dict.fromkeys(
+                mp
+                for kf in self.local_kfs
+                for mp in kf.get_valid_map_points()
+            ))
+            self._local_slots = None
 
     def _search_local_points(self, th: float | None = None):
         f = self.current
-        in_frame = set()
+        fid = f.id
+        table = self.atlas.get_current_map().landmarks
         for i in range(f.n):
             mp = f.map_points[i]
             if mp is not None:
@@ -502,62 +537,77 @@ class Tracking:
                     f.map_points[i] = None
                 else:
                     mp.increase_visible()
-                    mp.last_frame_seen = f.id
-                    in_frame.add(mp.id)
-        # batched frustum pass (Frame::isInFrustum semantics, vectorized over
-        # the whole local map — the per-point Python loop dominated
-        # TrackLocalMap at a few thousand candidates)
-        cand = []
-        for mp in self.local_mps:
-            mp.track_in_view = False
-            if mp.id not in in_frame and not mp.bad:
-                cand.append(mp)
-        n_to_match = 0
-        if cand:
-            pw = np.stack([mp.position for mp in cand])
-            normal = np.stack([mp.normal for mp in cand])
-            min_d = np.array([mp.min_distance for mp in cand])
-            max_d = np.array([mp.max_distance for mp in cand])
-            pc = pw @ f.Tcw.R.T + f.Tcw.t
-            ow = f.camera_center()
-            v = pw - ow
-            dist = np.linalg.norm(v, axis=1)
-            uv = f.camera.project(np.where(pc[:, 2:3] > 1e-9, pc, [0, 0, 1.0]))
-            view_cos = (v * normal).sum(1) / np.maximum(dist, 1e-9)
-            ok = (
-                (pc[:, 2] >= 0.1)
-                & (f.min_x < uv[:, 0]) & (uv[:, 0] < f.max_x)
-                & (f.min_y < uv[:, 1]) & (uv[:, 1] < f.max_y)
-                & (min_d <= dist) & (dist <= max_d)
-                & (view_cos >= 0.5)
+                    mp.last_frame_seen = fid
+                    if getattr(mp, "_table", None) is table:
+                        # marks "already matched this frame" for the gather
+                        table.seen_stamp[mp._slot] = fid
+        if not self.local_mps:
+            return
+        # Batched frustum pass (Frame::isInFrustum semantics) over the
+        # landmark table: one fancy-index per attribute instead of np.stack
+        # over per-object attributes (which dominated TrackLocalMap).
+        mps = self.local_mps
+        if (
+            self._local_slots is None
+            or self._local_slots_table is not table
+            or len(self._local_slots) != len(mps)
+        ):
+            self._local_slots = table.slots_of(mps)
+            self._local_slots_table = table
+        slots = self._local_slots
+        sl = np.maximum(slots, 0)
+        cand_mask = (slots >= 0) & table.valid[sl] & (table.seen_stamp[sl] != fid)
+        ci = np.nonzero(cand_mask)[0]
+        if len(ci) == 0:
+            return
+        s = slots[ci]
+        pw = table.pos[s]
+        normal = table.normal[s]
+        min_d = table.min_d[s]
+        max_d = table.max_d[s]
+        pc = pw @ f.Tcw.R.T + f.Tcw.t
+        ow = f.camera_center()
+        v = pw - ow
+        dist = np.linalg.norm(v, axis=1)
+        uv = f.camera.project(np.where(pc[:, 2:3] > 1e-9, pc, [0, 0, 1.0]))
+        view_cos = (v * normal).sum(1) / np.maximum(dist, 1e-9)
+        ok = (
+            (pc[:, 2] >= 0.1)
+            & (f.min_x < uv[:, 0]) & (uv[:, 0] < f.max_x)
+            & (f.min_y < uv[:, 1]) & (uv[:, 1] < f.max_y)
+            & (min_d <= dist) & (dist <= max_d)
+            & (view_cos >= 0.5)
+        )
+        oki = np.nonzero(ok)[0]
+        if len(oki) == 0:
+            return
+        ratio = max_d[oki] / np.maximum(dist[oki], 1e-9)
+        level = np.clip(
+            np.ceil(np.log(np.maximum(ratio, 1e-12)) / f.log_scale_factor),
+            0, f.n_levels - 1,
+        )
+        ur = uv[oki, 0] - f.mbf / np.maximum(pc[oki, 2], 1e-9) if f.mbf > 0 \
+            else np.full(len(oki), -1.0)
+        proj = np.column_stack(
+            [uv[oki, 0], uv[oki, 1], ur, level, view_cos[oki]]
+        ).astype(np.float32)
+        cands = [mps[j] for j in ci[oki]]
+        for mp in cands:
+            mp.increase_visible()
+        so = s[oki]
+        if th is None:
+            th = 3 if fid < self.last_reloc_frame_id + 2 else 1
+        # large local maps ride the device batch matcher (one masked MXU
+        # Hamming matmul); small ones stay on host where per-dispatch
+        # latency would dominate (crossover measured by bench_matchers.py)
+        if len(cands) >= matchers.DEVICE_MATCH_MIN:
+            matchers.search_by_projection_cands_device(
+                f, cands, proj, table.desc[so], th
             )
-            ratio = max_d / np.maximum(dist, 1e-9)
-            level = np.clip(
-                np.ceil(np.log(np.maximum(ratio, 1e-12)) / f.log_scale_factor),
-                0, f.n_levels - 1,
-            ).astype(np.int64)
-            ur = uv[:, 0] - f.mbf / np.maximum(pc[:, 2], 1e-9) if f.mbf > 0 \
-                else np.full(len(cand), -1.0)
-            for j in np.nonzero(ok)[0]:
-                mp = cand[j]
-                mp.track_in_view = True
-                mp.track_proj = (
-                    uv[j, 0], uv[j, 1], ur[j], int(level[j]), float(view_cos[j])
-                )
-                mp.increase_visible()
-                n_to_match += 1
-        if n_to_match > 0:
-            if th is None:
-                th = 3 if f.id < self.last_reloc_frame_id + 2 else 1
-            # large local maps ride the device batch matcher (one masked MXU
-            # Hamming matmul); small ones stay on host where per-dispatch
-            # latency would dominate (crossover measured by bench_matchers.py)
-            if n_to_match >= matchers.DEVICE_MATCH_MIN:
-                matchers.search_by_projection_local_map_device(
-                    f, self.local_mps, th
-                )
-            else:
-                matchers.search_by_projection_local_map(f, self.local_mps, th)
+        else:
+            matchers.search_by_projection_cands(
+                f, cands, proj, table.n_obs[so], table.desc[so], th
+            )
 
     # --- inertial bookkeeping ---------------------------------------------
     def current_bias(self):
@@ -845,13 +895,18 @@ class Tracking:
         """System::ResetActiveMap role: clear the current map's contents and
         restart initialization in place (used on inertial timestamp jumps
         before the map is fully VI-refined)."""
+        from orbslam3_tpu.slam.map import LandmarkTable
+
         m = self.atlas.get_current_map()
         for kf in m.get_all_keyframes():
             kf.bad = True
         for mp in m.get_all_map_points():
             mp.bad = True
+            mp._table = None
+            mp._slot = -1
         m.keyframes.clear()
         m.map_points.clear()
+        m.landmarks = LandmarkTable()
         m.imu_initialized = False
         self._fork_map_state_only()
 

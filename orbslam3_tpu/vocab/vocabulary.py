@@ -209,62 +209,150 @@ class BinaryVocabulary:
     def load_orbvoc_text(path: str, feat_level: int = 2) -> "BinaryVocabulary":
         """Parse the DBoW2 text format the reference ships (header
         `k L scoring weighting`, then one node per line:
-        `parent_id is_leaf d0..d31 weight`, nodes in BFS order)."""
+        `parent_id is_leaf d0..d31 weight`, nodes in BFS order;
+        TemplatedVocabulary::loadFromTextFile, :1338).
+
+        Fully vectorized: numpy's C tokenizer parses the (n, 35) numeric
+        body, slots/levels/word-ids reconstruct with array ops — the
+        reference's ~1M-node ORBvoc.txt (145 MB) loads in seconds instead
+        of the minutes a per-line Python loop takes."""
         with open(path) as f:
             header = f.readline().split()
             k, depth = int(header[0]), int(header[1])
-            parents, leafs, descs, wts = [], [], [], []
-            for line in f:
-                parts = line.split()
-                if len(parts) < 35:
-                    continue
-                parents.append(int(parts[0]))
-                leafs.append(int(parts[1]) != 0)
-                descs.append([int(x) for x in parts[2:34]])
-                wts.append(float(parts[34]))
+            data = np.loadtxt(f, dtype=np.float64, ndmin=2)
+        if data.size == 0:
+            return BinaryVocabulary(k, depth, feat_level)
+        parents = data[:, 0].astype(np.int64)  # text ids: 0-based, root=0
+        leafs = data[:, 1] != 0
         n = len(parents) + 1  # + root
+        voc = BinaryVocabulary(k, depth, feat_level)
+        voc.children = np.full((n, k), -1, np.int64)
+        voc.node_desc = np.zeros((n, 32), np.uint8)
+        voc.node_desc[1:] = data[:, 2:34].astype(np.uint8)
+        voc.word_id = np.full(n, -1, np.int64)
+        node_ids = np.arange(1, n)
+        # child slots = appearance order within each parent (stable cumcount)
+        order = np.argsort(parents, kind="stable")
+        sp = parents[order]
+        starts = np.r_[0, np.nonzero(np.diff(sp))[0] + 1]
+        group_start = np.repeat(starts, np.diff(np.r_[starts, len(sp)]))
+        slot = np.arange(len(sp)) - group_start
+        ok = slot < k
+        voc.children[sp[ok], slot[ok]] = node_ids[order][ok]
+        # levels = hop count to the root (parents always precede children)
+        par_full = np.r_[-1, parents]
+        lvl = np.zeros(n, np.int64)
+        cur = par_full.copy()
+        for _ in range(depth + 3):
+            alive = cur >= 0
+            if not alive.any():
+                break
+            lvl[alive] += 1
+            cur = np.where(alive, par_full[np.maximum(cur, 0)], -1)
+        voc.node_level = lvl.astype(np.int32)
+        # word ids in file order over the leaves (DBoW2 numbering)
+        voc.word_id[node_ids[leafs]] = np.arange(int(leafs.sum()))
+        voc.weights = data[leafs, 34]
+        voc.n_words = int(leafs.sum())
+        return voc
+
+    def _bfs_order(self):
+        """(nodes, parent_new_ids): level-order walk with slot-major child
+        order, new ids implicit (line i = node i+1)."""
+        new_id = np.full(len(self.word_id), -1, np.int64)
+        new_id[0] = 0
+        frontier = np.array([0], np.int64)
+        out_nodes, out_parents = [], []
+        count = 0
+        while len(frontier):
+            ch = self.children[frontier]  # (F, k)
+            par = np.repeat(new_id[frontier], ch.shape[1])
+            ch = ch.ravel()
+            m = ch >= 0
+            ch, par = ch[m], par[m]
+            if len(ch) == 0:
+                break
+            new_id[ch] = count + 1 + np.arange(len(ch))
+            count += len(ch)
+            out_nodes.append(ch)
+            out_parents.append(par)
+            frontier = ch
+        if not out_nodes:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        return np.concatenate(out_nodes), np.concatenate(out_parents)
+
+    def save_orbvoc_text(self, path: str):
+        """Write the DBoW2-compatible text format (BFS order; node ids are
+        implicit: root = 0, line i defines node i+1; parent field is the
+        parent's id).  Vectorized (np.savetxt) for ~1M-node vocabularies."""
+        nodes, parent_ids = self._bfs_order()
+        is_leaf = (self.word_id[nodes] >= 0).astype(np.int64)
+        w = np.where(
+            is_leaf > 0,
+            self.weights[np.maximum(self.word_id[nodes], 0)]
+            if len(self.weights)
+            else 0.0,
+            0.0,
+        )
+        ints = np.column_stack(
+            [parent_ids, is_leaf, self.node_desc[nodes].astype(np.int64)]
+        ).tolist()  # C-speed conversion to Python ints
+        ws = w.tolist()
+        with open(path, "w") as f:
+            f.write(f"{self.k} {self.depth} 0 0\n")
+            # join-based formatting: ~10x faster than np.savetxt's per-row
+            # % formatting at the reference's ~1M-node scale
+            chunk = 65536
+            for s0 in range(0, len(ints), chunk):
+                f.write(
+                    "\n".join(
+                        " ".join(map(str, row)) + f" {wv:.6f}"
+                        for row, wv in zip(
+                            ints[s0 : s0 + chunk], ws[s0 : s0 + chunk]
+                        )
+                    )
+                    + "\n"
+                )
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def synthesize(
+        k: int = 10, depth: int = 6, feat_level: int = 2, seed: int = 0
+    ) -> "BinaryVocabulary":
+        """Directly generate a full k^depth-word vocabulary structure
+        (production scale: k=10, depth=6 -> 1M words, matching the
+        reference's ORBvoc.txt shape) without training.  Node descriptors
+        are hierarchical: each child = parent XOR a random mask whose
+        per-bit flip probability halves per level, so descents are
+        metrically coherent.  For scale/perf validation — a trained
+        vocabulary is only needed for real place-recognition quality."""
+        rng = np.random.default_rng(seed)
+        sizes = [k**l for l in range(depth + 1)]
+        offsets = np.cumsum([0] + sizes)  # node id ranges per level
+        n = int(offsets[-1])
         voc = BinaryVocabulary(k, depth, feat_level)
         voc.children = np.full((n, k), -1, np.int64)
         voc.node_desc = np.zeros((n, 32), np.uint8)
         voc.node_level = np.zeros(n, np.int32)
         voc.word_id = np.full(n, -1, np.int64)
-        weights = []
-        child_count = np.zeros(n, np.int64)
-        for i in range(n - 1):
-            node = i + 1
-            p = parents[i] + 0  # text ids are 0-based with root=0
-            slot = child_count[p]
-            if slot < k:
-                voc.children[p, slot] = node
-                child_count[p] += 1
-            voc.node_desc[node] = np.asarray(descs[i], np.uint8)
-            voc.node_level[node] = voc.node_level[p] + 1
-            if leafs[i]:
-                voc.word_id[node] = len(weights)
-                weights.append(wts[i])
-        voc.weights = np.asarray(weights, np.float64)
-        voc.n_words = len(weights)
+        for l in range(depth):
+            lo, hi = offsets[l], offsets[l + 1]
+            m = hi - lo
+            voc.node_level[lo:hi] = l
+            # children of level-l nodes are contiguous at level l+1
+            voc.children[lo:hi] = offsets[l + 1] + np.arange(m * k).reshape(
+                m, k
+            )
+            # per-bit flip probability 2^-(l+1): AND of (l+1) uniform bytes
+            mask = rng.integers(0, 256, (m * k, 32), np.uint8, endpoint=False)
+            for _ in range(l):
+                mask &= rng.integers(0, 256, (m * k, 32), np.uint8)
+            voc.node_desc[offsets[l + 1] : offsets[l + 2]] = (
+                np.repeat(voc.node_desc[lo:hi], k, axis=0) ^ mask
+            )
+        lo, hi = offsets[depth], offsets[depth + 1]
+        voc.node_level[lo:hi] = depth
+        voc.word_id[lo:hi] = np.arange(hi - lo)
+        voc.weights = rng.uniform(0.2, 1.0, hi - lo)
+        voc.n_words = int(hi - lo)
         return voc
-
-    def save_orbvoc_text(self, path: str):
-        """Write the DBoW2-compatible text format (BFS order; node ids are
-        implicit: root = 0, line i defines node i+1; parent field is the
-        parent's id)."""
-        lines = [f"{self.k} {self.depth} 0 0\n"]
-        new_id = {0: 0}
-        queue = [0]
-        order = []
-        while queue:
-            node = queue.pop(0)
-            for c in self.children[node]:
-                if c >= 0:
-                    new_id[int(c)] = len(order) + 1
-                    order.append((int(c), new_id[node]))
-                    queue.append(int(c))
-        for node, parent_id in order:
-            is_leaf = int(self.word_id[node] >= 0)
-            w = self.weights[self.word_id[node]] if is_leaf else 0.0
-            d = " ".join(str(int(x)) for x in self.node_desc[node])
-            lines.append(f"{parent_id} {is_leaf} {d} {w:.6f}\n")
-        with open(path, "w") as f:
-            f.writelines(lines)
