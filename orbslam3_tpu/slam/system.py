@@ -103,6 +103,7 @@ class System:
             imu_calib=imu_calib,
         )
         self.local_mapper.tracker = self.tracker
+        self.viewer = None  # optional Viewer (caller-polled or worker)
         self._mapper_thread = None
         self._loop_thread = None
         if not sequential:
@@ -237,7 +238,10 @@ class System:
         if imu is not None:
             frame.imu_preint = self._preintegrate(imu)
         with trace_range("2_Track"):
-            return self.tracker.track_frame(frame)
+            pose = self.tracker.track_frame(frame)
+        if self.viewer is not None:
+            self.viewer.update(img_l)
+        return pose
 
     # --- frame pipelining (the reference's intended async design,
     # src/ORBExtractorCUDA.cc:691-744, revived idiomatically: XLA dispatch
@@ -354,7 +358,10 @@ class System:
         if imu is not None:
             frame.imu_preint = self._preintegrate(imu)
         with trace_range("2_Track"):
-            return self.tracker.track_frame(frame)
+            pose = self.tracker.track_frame(frame)
+        if self.viewer is not None:
+            self.viewer.update(img)
+        return pose
 
     def _preintegrate(self, imu: tuple):
         """Per-frame preintegration with the tracker's current bias estimate
@@ -399,7 +406,10 @@ class System:
             frame.feat_vec = None
         if imu is not None:
             frame.imu_preint = self._preintegrate(imu)
-        return self.tracker.track_frame(frame)
+        pose = self.tracker.track_frame(frame)
+        if self.viewer is not None:
+            self.viewer.update(img)
+        return pose
 
     def track_stereo_features(self, feats: dict, timestamp: float, bounds,
                               imu: tuple | None = None):
@@ -546,6 +556,9 @@ class System:
             from orbslam3_tpu.utils.viewer import Viewer
 
             sysm.viewer = Viewer(sysm, viewer_dir)
+            # worker render thread (reference spawns the Viewer thread in
+            # the System ctor, src/System.cc:233)
+            sysm.viewer.start()
         return sysm
 
     # --- control (System.h:125-135) ---------------------------------------
@@ -600,6 +613,8 @@ class System:
         self.tracker.atlas = self.atlas
 
     def shutdown(self):
+        if self.viewer is not None:
+            self.viewer.request_finish()
         self.local_mapper.request_finish()
         if self._mapper_thread is not None:
             self._mapper_thread.join(timeout=5)

@@ -155,6 +155,51 @@ def test_headless_viewer(tmp_path):
     assert sum(f.startswith("map_") for f in files) >= 1
 
 
+@pytest.mark.slow
+def test_viewer_worker_thread_sequence_dump(tmp_path):
+    """Worker-thread viewer (Viewer::Run role, src/Viewer.cc:162): renders
+    off the tracking thread across a full synth sequence, honors
+    pause/step, drains on finish."""
+    import time
+
+    from orbslam3_tpu.slam.system import System
+    from orbslam3_tpu.utils.synth import stereo_sequence
+    from orbslam3_tpu.utils.viewer import Viewer
+    from orbslam3_tpu.cameras.models import Pinhole
+    from orbslam3_tpu.oracle.orb_cpu import PyramidParams
+
+    camera = Pinhole([350.0, 350.0, 256.0, 192.0])
+    frames = stereo_sequence(8, camera, 0.12, 384, 512, seed=1)
+    sysm = System(camera, 42.0, PyramidParams(n_features=700), sequential=True)
+    viewer = Viewer(sysm, str(tmp_path / "viz"), map_every=3)
+    sysm.viewer = viewer
+    viewer.start()
+    assert viewer.running()
+    for k, (il, ir, tg) in enumerate(frames[:5]):
+        sysm.track_stereo(il, ir, k / 20.0)  # viewer.update via System
+        time.sleep(0.05)  # let the worker drain (latest-wins drops allowed)
+    # pause: snapshots accepted, no rendering
+    viewer.request_pause()
+    drawn_at_pause = viewer.frames_drawn
+    sysm.track_stereo(frames[5][0], frames[5][1], 5 / 20.0)
+    time.sleep(0.15)
+    assert viewer.frames_drawn == drawn_at_pause
+    # step renders exactly the one pending frame
+    viewer.step()
+    time.sleep(0.2)
+    assert viewer.frames_drawn == drawn_at_pause + 1
+    viewer.resume()
+    for k in (6, 7):
+        sysm.track_stereo(frames[k][0], frames[k][1], k / 20.0)
+        time.sleep(0.05)
+    sysm.shutdown()  # request_finish + drain
+    assert not viewer.running()
+    files = os.listdir(tmp_path / "viz")
+    n_frames = sum(f.startswith("frame_") for f in files)
+    assert n_frames >= 6, files  # latest-wins may drop a few, not most
+    assert sum(f.startswith("map_") for f in files) >= 2
+
+
 TUMVI_YAML = """%YAML:1.0
 ---
 File.version: "1.0"
