@@ -248,7 +248,13 @@ def refresh_points(mps, descriptors: bool = True) -> None:
     pos = np.empty((g_count, 3))
     centers: list[np.ndarray] = []
     cidx: dict[int, int] = {}
-    descs: list[np.ndarray] = []
+    # descriptor observations collected as (interned kf, row) int pairs;
+    # the actual descriptor rows gather per distinct KF afterwards (one
+    # fancy-index per KF instead of ~20k row views + np.stack)
+    kf_descs: list[np.ndarray] = []
+    kf_didx: dict[int, int] = {}
+    descs_kf: list[int] = []
+    descs_row: list[int] = []
     dgrp: list[int] = []
     ogrp: list[int] = []
     ocen: list[int] = []
@@ -267,16 +273,31 @@ def refresh_points(mps, descriptors: bool = True) -> None:
                 ogrp.append(g)
                 ocen.append(ci)
             if descriptors and not kf.bad:
+                ki = kf_didx.get(id(kf))
+                if ki is None:
+                    ki = len(kf_descs)
+                    kf_didx[id(kf)] = ki
+                    kf_descs.append(kf.desc)
                 if left >= 0:
-                    descs.append(kf.desc[left])
+                    descs_kf.append(ki)
+                    descs_row.append(left)
                     dgrp.append(g)
                 if right >= 0:
-                    descs.append(kf.desc[right])
+                    descs_kf.append(ki)
+                    descs_row.append(right)
                     dgrp.append(g)
 
     # --- distinctive descriptors (min median Hamming per group) ----------
-    if descs:
-        d_all = np.stack(descs)
+    if descs_kf:
+        ka = np.asarray(descs_kf)
+        ra = np.asarray(descs_row)
+        d_all = np.empty((len(ka), 32), np.uint8)
+        korder = np.argsort(ka, kind="stable")
+        ka_s = ka[korder]
+        kbounds = np.r_[0, np.nonzero(np.diff(ka_s))[0] + 1, len(ka_s)]
+        for b0, b1 in zip(kbounds[:-1], kbounds[1:]):
+            sel = korder[b0:b1]
+            d_all[sel] = kf_descs[int(ka_s[b0])][ra[sel]]
         dg = np.asarray(dgrp)
         counts = np.bincount(dg, minlength=g_count)
         nmax = int(counts.max())
