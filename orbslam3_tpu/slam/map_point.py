@@ -21,6 +21,18 @@ def hamming_rows(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 class MapPoint:
+    # Fixed attribute layout: tracking creates ~100 temporal VO points per
+    # stereo frame (Tracking4.cc UpdateLastFrame role) and maps hold 10k+
+    # live points; __slots__ drops the per-instance dict (~40% smaller,
+    # measurably faster ctor/attribute access in the host loop).
+    __slots__ = (
+        "id", "_table", "_slot", "_position", "ref_kf", "map",
+        "observations", "n_obs", "descriptor", "normal",
+        "min_distance", "max_distance", "bad", "replaced_by",
+        "n_visible", "n_found", "first_kf_id", "track_in_view",
+        "track_proj", "last_frame_seen",
+    )
+
     _next_id = 0
 
     def __init__(self, position: np.ndarray, ref_kf, map_):

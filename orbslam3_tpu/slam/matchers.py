@@ -288,12 +288,9 @@ def search_by_projection_last_frame(cur, last, th: float, mono: bool,
             mp_obs = np.zeros(m, np.uint8)
             objs = last.map_points
             outlier = last.outlier
-            sel_i = [
-                i for i in range(m)
-                if objs[i] is not None and not outlier[i]
-            ]
-            if sel_i:
-                mps_sel = [objs[i] for i in sel_i]
+            sel_i = np.nonzero((objs != None) & ~outlier)[0]  # noqa: E711 — elementwise over objects
+            if len(sel_i):
+                mps_sel = list(objs[sel_i])
                 # real map points gather from the landmark table; temporal
                 # VO points (unattached) fall back to per-point reads
                 table = next(

@@ -196,6 +196,14 @@ class Tracking:
             for i in np.nonzero(frame.outlier)[0]:
                 frame.map_points[i] = None
                 frame.outlier[i] = False
+            # Delete temporal VO points (Tracking4.cc deletes
+            # mlpTemporalPoints every tracked frame): _clean_vo_matches just
+            # nulled every n_obs<1 association from the current frame, and
+            # the previous frame (the only other holder) is dropped below,
+            # so the objects free now instead of accumulating per frame.
+            for mp in self.temporal_points:
+                mp.bad = True
+            self.temporal_points.clear()
         frame.ref_keyframe = self.ref_kf
         self._log_trajectory(lost=not ok)
         self.last_frame = frame
@@ -912,6 +920,7 @@ class Tracking:
 
     def _fork_map_state_only(self):
         self.state = TrackingState.NOT_INITIALIZED
+        self.temporal_points.clear()
         self.velocity = None
         self.ref_kf = None
         self.last_kf = None
