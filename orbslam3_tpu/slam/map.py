@@ -97,14 +97,9 @@ class LandmarkTable:
 
     def slots_of(self, mps) -> np.ndarray:
         """Current slot per point; -1 where the point is not attached here."""
-        return np.fromiter(
-            (
-                mp._slot if getattr(mp, "_table", None) is self else -1
-                for mp in mps
-            ),
-            np.int64,
-            count=len(mps),
-        )
+        from orbslam3_tpu.native import hostops
+
+        return hostops.slots_of(mps, self)
 
 
 class Map:

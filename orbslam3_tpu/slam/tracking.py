@@ -17,6 +17,7 @@ from enum import IntEnum
 
 import numpy as np
 
+from orbslam3_tpu.native import hostops
 from orbslam3_tpu.optim.pose_optimization import PoseObservations, pose_optimization
 from orbslam3_tpu.slam import matchers
 from orbslam3_tpu.slam.frame import Frame
@@ -469,14 +470,8 @@ class Tracking:
             n_in = self._optimize_current_pose(map_only=not self.vo_points_in_final_vote)
         # IMU fusion of the final pose (after visual outlier classification)
         self._refine_pose_inertial()
-        # count only real map points
-        self.matches_inliers = 0
-        for i in range(f.n):
-            mp = f.map_points[i]
-            if mp is not None and not f.outlier[i]:
-                mp.increase_found()
-                if mp.n_obs > 0:
-                    self.matches_inliers += 1
+        # count only real map points (bump n_found on every inlier)
+        self.matches_inliers = hostops.count_found(f.map_points, f.outlier)
         self._last_inliers = self.matches_inliers
         if f.id < self.last_reloc_frame_id + self.max_frames and self.matches_inliers < 50:
             return False
@@ -485,14 +480,7 @@ class Tracking:
     def _update_local_map(self):
         """UpdateLocalKeyFrames + UpdateLocalPoints (Tracking4.cc:273+)."""
         f = self.current
-        counter: dict[KeyFrame, int] = {}
-        for i in range(f.n):
-            mp = f.map_points[i]
-            if mp is None or mp.bad:
-                continue
-            for kf in mp.observations:
-                if not kf.bad:
-                    counter[kf] = counter.get(kf, 0) + 1
+        counter: dict[KeyFrame, int] = hostops.count_obs_kfs(f.map_points)
         if not counter:
             return
         self.local_kfs = []
@@ -538,17 +526,9 @@ class Tracking:
         f = self.current
         fid = f.id
         table = self.atlas.get_current_map().landmarks
-        for i in range(f.n):
-            mp = f.map_points[i]
-            if mp is not None:
-                if mp.bad:
-                    f.map_points[i] = None
-                else:
-                    mp.increase_visible()
-                    mp.last_frame_seen = fid
-                    if getattr(mp, "_table", None) is table:
-                        # marks "already matched this frame" for the gather
-                        table.seen_stamp[mp._slot] = fid
+        # drop bad, bump n_visible/last_frame_seen, and stamp table slots
+        # "already matched this frame" for the gather (C-speed object pass)
+        hostops.mark_seen(f.map_points, table, fid, table.seen_stamp)
         if not self.local_mps:
             return
         # Batched frustum pass (Frame::isInFrustum semantics) over the
@@ -835,11 +815,7 @@ class Tracking:
 
     def _clean_vo_matches(self):
         f = self.current
-        for i in range(f.n):
-            mp = f.map_points[i]
-            if mp is not None and mp.n_obs < 1:
-                f.outlier[i] = False
-                f.map_points[i] = None
+        hostops.clean_vo(f.map_points, f.outlier)
 
     # --- failure handling --------------------------------------------------
     def _predict_with_imu(self, frame) -> bool:
