@@ -102,6 +102,13 @@ def _load():
         ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
         ctypes.POINTER(ctypes.c_int32),
     ]
+    lib.distinctive_select.restype = None
+    lib.distinctive_select.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),    # descs (N, 32) group-ordered
+        ctypes.POINTER(ctypes.c_int32),    # group_off (G+1,)
+        ctypes.c_int,                      # g_count
+        ctypes.POINTER(ctypes.c_int32),    # out_row (G,)
+    ]
     lib.pose_optimize.restype = ctypes.c_int
     lib.pose_optimize.argtypes = [
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
@@ -168,6 +175,29 @@ def distribute_octree(kps: np.ndarray, min_x: int, max_x: int, min_y: int,
                 idx.append(int(c))
                 break
     return np.asarray(idx, np.int64)
+
+
+def distinctive_select(descs: np.ndarray, group_off: np.ndarray):
+    """Per-group min-median-Hamming representative row, or None when the
+    native library is unavailable (caller falls back to the NumPy path).
+
+    descs (N, 32) uint8 group-ordered; group_off (G+1,) int32 offsets.
+    Returns (G,) int32 global row indices (-1 for empty groups)."""
+    lib = _load()
+    if lib is None:
+        return None
+    descs = np.ascontiguousarray(descs, np.uint8)
+    group_off = np.ascontiguousarray(group_off, np.int32)
+    g = len(group_off) - 1
+    out = np.empty(g, np.int32)
+    if g > 0:
+        lib.distinctive_select(
+            descs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            group_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            g,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+    return out
 
 
 def hamming_knn(a: np.ndarray, b: np.ndarray, k: int = 2):

@@ -194,6 +194,58 @@ void hamming_knn(const uint8_t* a, int na, const uint8_t* b, int nb, int k,
   }
 }
 
+// ---------------------------------------------------------------------------
+// distinctive_select: per observation group, the min-median-Hamming
+// representative descriptor (MapPoint::ComputeDistinctiveDescriptors role;
+// the "median" is the sorted element at (n-1)/2, self-distance included).
+// descs: (N, 32) group-ordered; group_off: (G+1,) row offsets.
+// out_row[g] = global row index of the winner, -1 for an empty group.
+// Replaces the batched NumPy path's (G, nmax, nmax, 32) padded XOR tensor
+// with per-group popcounts: ~10x less memory traffic on KF insertion.
+// ---------------------------------------------------------------------------
+void distinctive_select(const uint8_t* descs, const int32_t* group_off,
+                        int g_count, int32_t* out_row) {
+  const uint64_t* d64 = reinterpret_cast<const uint64_t*>(descs);
+  std::vector<int32_t> dist;  // n*n scratch, reused across groups
+  std::vector<int32_t> row;
+  for (int g = 0; g < g_count; ++g) {
+    const int b0 = group_off[g], b1 = group_off[g + 1];
+    const int n = b1 - b0;
+    if (n <= 0) {
+      out_row[g] = -1;
+      continue;
+    }
+    if (n == 1) {
+      out_row[g] = b0;
+      continue;
+    }
+    dist.assign(static_cast<size_t>(n) * n, 0);
+    for (int i = 0; i < n; ++i) {
+      const uint64_t* di = d64 + 4 * (b0 + i);
+      for (int j = i + 1; j < n; ++j) {
+        const uint64_t* dj = d64 + 4 * (b0 + j);
+        const int32_t d = __builtin_popcountll(di[0] ^ dj[0]) +
+                          __builtin_popcountll(di[1] ^ dj[1]) +
+                          __builtin_popcountll(di[2] ^ dj[2]) +
+                          __builtin_popcountll(di[3] ^ dj[3]);
+        dist[i * n + j] = d;
+        dist[j * n + i] = d;
+      }
+    }
+    const int m = (n - 1) / 2;
+    int best_med = 1 << 30, best_i = -1;
+    for (int i = 0; i < n; ++i) {
+      row.assign(dist.begin() + i * n, dist.begin() + (i + 1) * n);
+      std::nth_element(row.begin(), row.begin() + m, row.end());
+      if (row[m] < best_med) {
+        best_med = row[m];
+        best_i = i;
+      }
+    }
+    out_row[g] = b0 + best_i;
+  }
+}
+
 // full pairwise Hamming matrix (na x nb)
 void hamming_matrix(const uint8_t* a, int na, const uint8_t* b, int nb,
                     int32_t* out) {

@@ -301,6 +301,8 @@ def refresh_points(mps, descriptors: bool = True) -> None:
 
     # --- distinctive descriptors (min median Hamming per group) ----------
     if descs_kf:
+        from orbslam3_tpu import native
+
         ka = np.asarray(descs_kf)
         ra = np.asarray(descs_row)
         d_all = np.empty((len(ka), 32), np.uint8)
@@ -312,25 +314,31 @@ def refresh_points(mps, descriptors: bool = True) -> None:
             d_all[sel] = kf_descs[int(ka_s[b0])][ra[sel]]
         dg = np.asarray(dgrp)
         counts = np.bincount(dg, minlength=g_count)
-        nmax = int(counts.max())
-        off = np.zeros(g_count, np.int64)
-        np.cumsum(counts[:-1], out=off[1:])
-        rank = np.arange(len(dg)) - off[dg]  # observations are group-ordered
-        block = np.zeros((g_count, nmax, 32), np.uint8)
-        block[dg, rank] = d_all
-        dist = np.bitwise_count(
-            block[:, :, None, :] ^ block[:, None, :, :]
-        ).sum(-1, dtype=np.int32)  # (G, nmax, nmax)
-        col_ok = np.arange(nmax)[None, :] < counts[:, None]
-        dist = np.where(col_ok[:, None, :], dist, 1 << 20)
-        dist.sort(axis=2)
-        m = np.maximum(counts - 1, 0) // 2  # reference's sorted[(N-1)/2]
-        med = np.take_along_axis(dist, m[:, None, None], axis=2)[:, :, 0]
-        med = np.where(col_ok, med, 1 << 20)
-        best = med.argmin(axis=1)
-        choice = block[np.arange(g_count), best]
+        off = np.zeros(g_count + 1, np.int64)
+        np.cumsum(counts, out=off[1:])  # observations are group-ordered
+        rows = native.distinctive_select(d_all, off)
+        if rows is not None:
+            hit = rows >= 0
+            choice = d_all[np.maximum(rows, 0)]
+        else:  # NumPy fallback: padded-block median over the batch
+            nmax = int(counts.max())
+            rank = np.arange(len(dg)) - off[dg]
+            block = np.zeros((g_count, nmax, 32), np.uint8)
+            block[dg, rank] = d_all
+            dist = np.bitwise_count(
+                block[:, :, None, :] ^ block[:, None, :, :]
+            ).sum(-1, dtype=np.int32)  # (G, nmax, nmax)
+            col_ok = np.arange(nmax)[None, :] < counts[:, None]
+            dist = np.where(col_ok[:, None, :], dist, 1 << 20)
+            dist.sort(axis=2)
+            m = np.maximum(counts - 1, 0) // 2  # reference's sorted[(N-1)/2]
+            med = np.take_along_axis(dist, m[:, None, None], axis=2)[:, :, 0]
+            med = np.where(col_ok, med, 1 << 20)
+            best = med.argmin(axis=1)
+            choice = block[np.arange(g_count), best]
+            hit = counts > 0
         for g, mp in enumerate(mps):
-            if counts[g] > 0:
+            if hit[g]:
                 mp.descriptor = choice[g].copy()
                 sync = getattr(mp, "_sync_desc", None)  # duck-typed stand-ins
                 if sync is not None:

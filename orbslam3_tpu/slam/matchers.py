@@ -82,6 +82,22 @@ def _rotation_consistency(rot: np.ndarray, valid_idx: list[int]) -> set[int]:
     return {i for i, b in zip(valid_idx, bins) if b in keep_bins}
 
 
+def _rotation_mask(rot: np.ndarray) -> np.ndarray:
+    """Boolean survivors of the three-maxima histogram check (array form)."""
+    if len(rot) == 0:
+        return np.zeros(0, bool)
+    factor = HISTO_LENGTH / 360.0
+    bins = np.round(np.asarray(rot) * factor).astype(int) % HISTO_LENGTH
+    counts = np.bincount(bins, minlength=HISTO_LENGTH)
+    order = np.argsort(-counts)
+    keep = [order[0]]
+    if counts[order[1]] >= 0.1 * counts[order[0]]:
+        keep.append(order[1])
+    if counts[order[2]] >= 0.1 * counts[order[0]]:
+        keep.append(order[2])
+    return np.isin(bins, keep)
+
+
 def _occupied_mask(frame) -> np.ndarray:
     """(n,) uint8: slot already holds a map-anchored (n_obs > 0) point.
 
@@ -313,14 +329,24 @@ def search_by_projection_last_frame(cur, last, th: float, mono: bool,
                     rest = np.nonzero(~att)[0]
                 else:
                     rest = np.arange(len(mps_sel))
-                for j in rest:
-                    mp = mps_sel[j]
-                    if mp.bad:
-                        continue
-                    i = int(idxs[j])
-                    pw[i] = mp.position
-                    mp_valid[i] = 1
-                    mp_obs[i] = mp.n_obs > 0
+                if len(rest):
+                    # unattached survivors are temporal VO points: batch the
+                    # attribute reads instead of per-row scalar assignments
+                    rmps = [mps_sel[j] for j in rest]
+                    ok = np.fromiter(
+                        (not mp.bad for mp in rmps), bool, len(rmps)
+                    )
+                    if ok.any():
+                        ri = idxs[rest[ok]]
+                        pw[ri] = np.stack(
+                            [mp._position for mp, o in zip(rmps, ok) if o]
+                        )
+                        mp_valid[ri] = 1
+                        mp_obs[ri] = np.fromiter(
+                            (mp.n_obs > 0 for mp, o in zip(rmps, ok) if o),
+                            bool,
+                            int(ok.sum()),
+                        )
             occupied = _occupied_mask(cur)
             res = native.project_match_last(
                 pw, last.desc, last.octave, mp_valid, mp_obs,
@@ -335,22 +361,16 @@ def search_by_projection_last_frame(cur, last, th: float, mono: bool,
             )
             if res is not None:
                 out, _ = res
-                matches = 0
-                rot, rot_idx = [], []
-                for i_last in np.nonzero(out >= 0)[0]:
-                    best_i = int(out[i_last])
-                    cur.map_points[best_i] = last.map_points[i_last]
-                    matches += 1
-                    if check_rotation:
-                        dr = last.angle[i_last] - cur.angle[best_i]
-                        rot.append(dr + 360 if dr < 0 else dr)
-                        rot_idx.append(best_i)
+                hit = np.nonzero(out >= 0)[0]
+                best = out[hit]
+                cur.map_points[best] = last.map_points[hit]
+                matches = len(hit)
                 if check_rotation and matches > 0:
-                    keep = _rotation_consistency(rot, rot_idx)
-                    for i in rot_idx:
-                        if i not in keep:
-                            cur.map_points[i] = None
-                            matches -= 1
+                    dr = last.angle[hit] - cur.angle[best]
+                    rot = np.where(dr < 0, dr + 360, dr)
+                    drop = best[~_rotation_mask(rot)]
+                    cur.map_points[drop] = None
+                    matches -= len(drop)
                 return matches
 
     matches = 0
