@@ -129,6 +129,67 @@ def count_found(map_points: np.ndarray, outlier: np.ndarray) -> int:
     return count
 
 
+def obs_counts(mps) -> np.ndarray:
+    """len(mp.observations) per entry; -1 for None/bad points."""
+    m = _load()
+    n = len(mps)
+    counts = np.empty(n, np.int64)
+    if m is not None:
+        m.obs_counts(list(mps) if not isinstance(mps, list) else mps, counts)
+        return counts
+    for i, mp in enumerate(mps):
+        if mp is None or mp.bad:
+            counts[i] = -1
+        else:
+            counts[i] = len(getattr(mp, "observations", None) or ())
+    return counts
+
+
+def collect_obs(mps: list):
+    """Flatten the observation graphs of already-kept (non-None, non-bad,
+    observed) points into parallel arrays, C-speed when available.
+
+    Returns (pos (G,3) f64, need_norm (G,) bool, grp/kfi/left/right (T,) i64,
+    kfs list of distinct KeyFrames interned by identity, in first-seen
+    order).  Row order matches the Python iteration order exactly (point
+    order, then observation insertion order), which downstream tie-breaking
+    depends on."""
+    g = len(mps)
+    m = _load()
+    if m is not None:
+        counts = np.empty(g, np.int64)
+        total = m.obs_counts(mps, counts)
+        pos = np.empty((g, 3))
+        needn = np.zeros(g, np.uint8)
+        grp = np.empty(total, np.int64)
+        kfi = np.empty(total, np.int64)
+        left = np.empty(total, np.int64)
+        right = np.empty(total, np.int64)
+        kfs, t = m.fill_obs(mps, pos, needn, grp, kfi, left, right)
+        return (pos, needn.astype(bool), grp[:t], kfi[:t], left[:t],
+                right[:t], kfs)
+    pos = np.empty((g, 3))
+    needn = np.zeros(g, bool)
+    grp, kfi, left, right = [], [], [], []
+    kfs: list = []
+    ids: dict = {}
+    for i, mp in enumerate(mps):
+        pos[i] = mp._position
+        needn[i] = getattr(mp, "ref_kf", None) is not None
+        for kf, (l, r) in mp.observations.items():
+            ki = ids.get(id(kf))
+            if ki is None:
+                ki = len(kfs)
+                ids[id(kf)] = ki
+                kfs.append(kf)
+            grp.append(i)
+            kfi.append(ki)
+            left.append(l)
+            right.append(r)
+    return (pos, needn, np.asarray(grp, np.int64), np.asarray(kfi, np.int64),
+            np.asarray(left, np.int64), np.asarray(right, np.int64), kfs)
+
+
 def count_obs_kfs(map_points: np.ndarray) -> dict:
     """Covisibility votes: {kf: #current-frame points it observes}."""
     m = _load()

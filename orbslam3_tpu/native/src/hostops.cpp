@@ -14,6 +14,9 @@
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
 
+#include <cstring>
+#include <unordered_map>
+
 namespace {
 
 // interned attribute names (module-lifetime)
@@ -281,7 +284,166 @@ PyObject *count_obs_kfs(PyObject *, PyObject *args) {
   return counter;
 }
 
+// obs_counts(seq, out_int64): out[i] = len(mp.observations), -1 for
+// None/bad points, 0 when the dict is missing/empty.  Returns the total
+// over kept (count > 0) points, so the caller can preallocate fill buffers.
+PyObject *obs_counts(PyObject *, PyObject *args) {
+  PyObject *arr, *out;
+  if (!PyArg_ParseTuple(args, "OO", &arr, &out)) return nullptr;
+  PyObject *seq = PySequence_Fast(arr, "hostops: expected a sequence");
+  if (!seq) return nullptr;
+  Py_ssize_t n = PySequence_Fast_GET_SIZE(seq);
+  Buf b(out, 8, n);
+  if (!b.ok) {
+    Py_DECREF(seq);
+    return nullptr;
+  }
+  int64_t *dst = static_cast<int64_t *>(b.view.buf);
+  PyObject **items = PySequence_Fast_ITEMS(seq);
+  long long total = 0;
+  bool err = false;
+  for (Py_ssize_t i = 0; i < n && !err; ++i) {
+    PyObject *mp = items[i];
+    if (mp == Py_None) {
+      dst[i] = -1;
+      continue;
+    }
+    bool isbad = attr_true(mp, s_bad, &err);
+    if (err) break;
+    if (isbad) {
+      dst[i] = -1;
+      continue;
+    }
+    PyObject *obs = PyObject_GetAttr(mp, s_observations);
+    if (!obs) {
+      PyErr_Clear();
+      dst[i] = 0;
+      continue;
+    }
+    dst[i] = PyDict_Check(obs) ? PyDict_Size(obs) : 0;
+    Py_DECREF(obs);
+    if (dst[i] > 0) total += dst[i];
+  }
+  Py_DECREF(seq);
+  if (err) return nullptr;
+  return PyLong_FromLongLong(total);
+}
+
+// fill_obs(kept_seq, out_pos_f64(G,3), out_neednorm_u8(G,),
+//          out_grp(T,), out_kfi(T,), out_left(T,), out_right(T,)) -> kf_list
+// Flattens every kept point's observation dict into parallel arrays in
+// iteration order (insertion order, matching the Python loop); distinct
+// KeyFrames are interned by identity into the returned list.
+PyObject *fill_obs(PyObject *, PyObject *args) {
+  PyObject *arr, *pos_o, *needn_o, *grp_o, *kfi_o, *left_o, *right_o;
+  if (!PyArg_ParseTuple(args, "OOOOOOO", &arr, &pos_o, &needn_o, &grp_o,
+                        &kfi_o, &left_o, &right_o))
+    return nullptr;
+  PyObject *seq = PySequence_Fast(arr, "hostops: expected a sequence");
+  if (!seq) return nullptr;
+  Py_ssize_t g_count = PySequence_Fast_GET_SIZE(seq);
+  Buf bp(pos_o, 24, g_count), bn(needn_o, 1, g_count);
+  Py_buffer gb{}, kb{}, lb{}, rb{};
+  bool bufok =
+      bp.ok && bn.ok &&
+      PyObject_GetBuffer(grp_o, &gb, PyBUF_SIMPLE | PyBUF_WRITABLE) == 0 &&
+      PyObject_GetBuffer(kfi_o, &kb, PyBUF_SIMPLE | PyBUF_WRITABLE) == 0 &&
+      PyObject_GetBuffer(left_o, &lb, PyBUF_SIMPLE | PyBUF_WRITABLE) == 0 &&
+      PyObject_GetBuffer(right_o, &rb, PyBUF_SIMPLE | PyBUF_WRITABLE) == 0;
+  PyObject *kf_list = bufok ? PyList_New(0) : nullptr;
+  std::unordered_map<PyObject *, int64_t> kf_ids;
+  PyObject *s_position = PyUnicode_InternFromString("_position");
+  PyObject *s_ref_kf = PyUnicode_InternFromString("ref_kf");
+  bool err = !bufok || !kf_list || !s_position || !s_ref_kf;
+  double *pos = static_cast<double *>(bp.view.buf);
+  uint8_t *needn = static_cast<uint8_t *>(bn.view.buf);
+  int64_t *grp = static_cast<int64_t *>(gb.buf);
+  int64_t *kfi = static_cast<int64_t *>(kb.buf);
+  int64_t *left = static_cast<int64_t *>(lb.buf);
+  int64_t *right = static_cast<int64_t *>(rb.buf);
+  Py_ssize_t cap = err ? 0 : gb.len / 8;
+  Py_ssize_t t = 0;
+  PyObject **items = err ? nullptr : PySequence_Fast_ITEMS(seq);
+  for (Py_ssize_t g = 0; g < g_count && !err; ++g) {
+    PyObject *mp = items[g];
+    // position: a (3,) float64 ndarray read through the buffer protocol
+    PyObject *p = PyObject_GetAttr(mp, s_position);
+    if (!p) {
+      err = true;
+      break;
+    }
+    Py_buffer pv{};
+    if (PyObject_GetBuffer(p, &pv, PyBUF_SIMPLE) < 0 || pv.len != 24) {
+      if (pv.obj) PyBuffer_Release(&pv);
+      Py_DECREF(p);
+      err = true;
+      break;
+    }
+    memcpy(pos + 3 * g, pv.buf, 24);
+    PyBuffer_Release(&pv);
+    Py_DECREF(p);
+    PyObject *ref = PyObject_GetAttr(mp, s_ref_kf);
+    if (!ref) PyErr_Clear();
+    needn[g] = ref && ref != Py_None;
+    Py_XDECREF(ref);
+    PyObject *obs = PyObject_GetAttr(mp, s_observations);
+    if (!obs) {
+      PyErr_Clear();
+      continue;
+    }
+    if (PyDict_Check(obs)) {
+      Py_ssize_t pos_it = 0;
+      PyObject *kf, *val;
+      while (!err && PyDict_Next(obs, &pos_it, &kf, &val)) {
+        if (t >= cap) {  // graph mutated between count and fill
+          PyErr_SetString(PyExc_RuntimeError, "hostops: obs overflow");
+          err = true;
+          break;
+        }
+        auto it = kf_ids.find(kf);
+        int64_t ki;
+        if (it == kf_ids.end()) {
+          ki = PyList_GET_SIZE(kf_list);
+          if (PyList_Append(kf_list, kf) < 0) {
+            err = true;
+            break;
+          }
+          kf_ids.emplace(kf, ki);
+        } else {
+          ki = it->second;
+        }
+        long l = -1, r = -1;
+        if (PyTuple_Check(val) && PyTuple_GET_SIZE(val) == 2) {
+          l = PyLong_AsLong(PyTuple_GET_ITEM(val, 0));
+          r = PyLong_AsLong(PyTuple_GET_ITEM(val, 1));
+          if ((l == -1 || r == -1) && PyErr_Occurred()) err = true;
+        }
+        grp[t] = g;
+        kfi[t] = ki;
+        left[t] = l;
+        right[t] = r;
+        ++t;
+      }
+    }
+    Py_DECREF(obs);
+  }
+  Py_XDECREF(s_position);
+  Py_XDECREF(s_ref_kf);
+  if (gb.obj) PyBuffer_Release(&gb);
+  if (kb.obj) PyBuffer_Release(&kb);
+  if (lb.obj) PyBuffer_Release(&lb);
+  if (rb.obj) PyBuffer_Release(&rb);
+  Py_DECREF(seq);
+  if (err) {
+    Py_XDECREF(kf_list);
+    return nullptr;
+  }
+  return Py_BuildValue("(Nn)", kf_list, t);
+}
+
 PyMethodDef methods[] = {
+    {"obs_counts", obs_counts, METH_VARARGS, "observation counts, -1 bad"},
+    {"fill_obs", fill_obs, METH_VARARGS, "flatten observation graphs"},
     {"slots_fill", slots_fill, METH_VARARGS, "fill int64 slots, -1 detached"},
     {"mark_seen", mark_seen, METH_VARARGS, "visibility bookkeeping pass"},
     {"clean_vo", clean_vo, METH_VARARGS, "drop n_obs<1 associations"},

@@ -240,67 +240,53 @@ def refresh_points(mps, descriptors: bool = True) -> None:
     centers are interned once per distinct KF.  `descriptors=False` runs
     only the normal/depth pass (local BA's post-update).
     """
-    mps = [mp for mp in mps if mp is not None and not mp.bad and mp.observations]
-    if not mps:
-        return
+    from orbslam3_tpu.native import hostops
+
+    arr = np.empty(len(mps), object)
+    arr[:] = list(mps)
+    counts = hostops.obs_counts(arr)
+    keep = counts > 0
     if descriptors:
-        # The batched descriptor pass pads every group to the batch-wide max
-        # observation count; a single long-lived landmark with ~100 obs would
-        # inflate the (G, nmax, nmax, 32) XOR tensor to hundreds of MB.
-        # Heavily-observed points take the per-point path instead.
-        heavy = [mp for mp in mps if len(mp.observations) > 24]
-        if heavy:
-            for mp in heavy:
+        # The NumPy-fallback descriptor pass pads every group to the
+        # batch-wide max observation count; a single long-lived landmark
+        # with ~100 obs would inflate its (G, nmax, nmax, 32) XOR tensor to
+        # hundreds of MB.  Heavily-observed points take the per-point path.
+        heavy = keep & (counts > 24)
+        if heavy.any():
+            for mp in arr[heavy]:
                 mp.compute_distinctive_descriptor()
                 mp.update_normal_and_depth()
-            mps = [mp for mp in mps if len(mp.observations) <= 24]
-            if not mps:
-                return
+            keep &= counts <= 24
+    mps = list(arr[keep])
+    if not mps:
+        return
     g_count = len(mps)
-    pos = np.empty((g_count, 3))
-    centers: list[np.ndarray] = []
-    cidx: dict[int, int] = {}
-    # descriptor observations collected as (interned kf, row) int pairs;
-    # the actual descriptor rows gather per distinct KF afterwards (one
-    # fancy-index per KF instead of ~20k row views + np.stack)
-    kf_descs: list[np.ndarray] = []
-    kf_didx: dict[int, int] = {}
-    descs_kf: list[int] = []
-    descs_row: list[int] = []
-    dgrp: list[int] = []
-    ogrp: list[int] = []
-    ocen: list[int] = []
-    for g, mp in enumerate(mps):
-        pos[g] = mp.position
-        # the per-point method touches camera centers only when ref_kf is
-        # set (update_normal_and_depth early-returns otherwise)
-        need_norm = getattr(mp, "ref_kf", None) is not None
-        for kf, (left, right) in mp.observations.items():
-            if need_norm:
-                ci = cidx.get(id(kf))
-                if ci is None:
-                    ci = len(centers)
-                    cidx[id(kf)] = ci
-                    centers.append(kf.camera_center())
-                ogrp.append(g)
-                ocen.append(ci)
-            if descriptors and not kf.bad:
-                ki = kf_didx.get(id(kf))
-                if ki is None:
-                    ki = len(kf_descs)
-                    kf_didx[id(kf)] = ki
-                    kf_descs.append(kf.desc)
-                if left >= 0:
-                    descs_kf.append(ki)
-                    descs_row.append(left)
-                    dgrp.append(g)
-                if right >= 0:
-                    descs_kf.append(ki)
-                    descs_row.append(right)
-                    dgrp.append(g)
+    # Flatten the observation graphs in one C pass (row order = point
+    # order then observation insertion order, which the argmin tie-break
+    # below depends on); camera centers intern once per distinct KF.
+    pos, needn, grp, kfi, left, right, kfs = hostops.collect_obs(mps)
+    if descriptors and len(grp):
+        kf_bad = np.fromiter((kf.bad for kf in kfs), bool, len(kfs))
+        # interleave left/right so within-group candidate order matches the
+        # per-point method exactly
+        cand_row = np.stack([left, right], axis=1).ravel()
+        cand_kfi = np.repeat(kfi, 2)
+        cand_grp = np.repeat(grp, 2)
+        ok = (cand_row >= 0) & ~kf_bad[cand_kfi]
+        descs_kf = cand_kfi[ok]
+        descs_row = cand_row[ok]
+        dgrp = cand_grp[ok]
+        kf_descs = [kf.desc for kf in kfs]
+    else:
+        descs_kf = descs_row = dgrp = np.empty(0, np.int64)
+        kf_descs = []
+    omask = needn[grp] if len(grp) else np.zeros(0, bool)
+    ogrp = grp[omask]
+    ocen = kfi[omask]
+    centers = [kf.camera_center() for kf in kfs]
 
     # --- distinctive descriptors (min median Hamming per group) ----------
-    if descs_kf:
+    if len(descs_kf):
         from orbslam3_tpu import native
 
         ka = np.asarray(descs_kf)
@@ -345,7 +331,7 @@ def refresh_points(mps, descriptors: bool = True) -> None:
                     sync()
 
     # --- normals + scale-invariance depth range --------------------------
-    if not ogrp:
+    if len(ogrp) == 0:
         return
     og = np.asarray(ogrp)
     oc = np.asarray(ocen)

@@ -141,6 +141,33 @@ def test_count_obs_kfs_parity():
     assert got == want == {k1: 2, k2: 1}
 
 
+def test_collect_obs_parity():
+    """C fill_obs/obs_counts vs the Python fallback: identical flattening."""
+    (tc, ac, mc), (tp, ap, mp_) = _world()
+    k1, k2, kbad = _KF(), _KF(), _KF(bad=True)
+    for ms in (mc, mp_):
+        ms[0].observations = {k1: (3, -1), kbad: (1, 7)}
+        ms[0].ref_kf = k1
+        ms[1].observations = {k2: (2, 9), k1: (0, -1)}
+        ms[2].observations = {k2: (4, -1)}
+
+    counts_c = hostops.obs_counts(list(mc[:4]))
+    saved_mod, saved_tried = hostops._mod, hostops._tried
+    try:
+        hostops._mod, hostops._tried = None, True
+        counts_py = hostops.obs_counts(list(mp_[:4]))
+        py = hostops.collect_obs([mp_[0], mp_[1], mp_[2]])
+    finally:
+        hostops._mod, hostops._tried = saved_mod, saved_tried
+    assert (counts_c == counts_py).all()
+    assert counts_c[0] == 2 and counts_c[3] == 0
+
+    cc = hostops.collect_obs([mc[0], mc[1], mc[2]])
+    for a, b in zip(cc[:6], py[:6]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert cc[6] == py[6] == [k1, kbad, k2]  # first-seen intern order
+
+
 def test_fallbacks_match_extension():
     """Force the fallback path and re-run one representative op."""
     (tc, ac, mc), (tp, ap, mp_) = _world()
