@@ -66,13 +66,21 @@ def available() -> bool:
 
 
 # ---------------------------------------------------------------------------
+def _as_list(mps) -> list:
+    if isinstance(mps, list):
+        return mps
+    if isinstance(mps, np.ndarray):
+        return mps.tolist()  # object dtype: C-speed unboxing
+    return list(mps)
+
+
 def slots_of(mps, table) -> np.ndarray:
     """Current slot per point; -1 where the point is not attached to `table`."""
     m = _load()
     n = len(mps)
     if m is not None:
         out = np.empty(n, np.int64)
-        m.slots_fill(list(mps) if not isinstance(mps, list) else mps, table, out)
+        m.slots_fill(_as_list(mps), table, out)
         return out
     return np.fromiter(
         (mp._slot if getattr(mp, "_table", None) is table else -1 for mp in mps),
@@ -135,7 +143,7 @@ def obs_counts(mps) -> np.ndarray:
     n = len(mps)
     counts = np.empty(n, np.int64)
     if m is not None:
-        m.obs_counts(list(mps) if not isinstance(mps, list) else mps, counts)
+        m.obs_counts(_as_list(mps), counts)
         return counts
     for i, mp in enumerate(mps):
         if mp is None or mp.bad:

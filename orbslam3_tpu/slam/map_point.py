@@ -230,6 +230,43 @@ class MapPoint:
     def found_ratio(self) -> float:
         return self.n_found / max(self.n_visible, 1)
 
+    @classmethod
+    def new_temporal_batch(cls, positions: np.ndarray, descs: np.ndarray):
+        """Bulk-construct unattached temporal VO points (UpdateLastFrame
+        creates ~100 per stereo frame; this skips the per-instance property
+        machinery and zero-buffer allocations of __init__)."""
+        n = len(positions)
+        base = cls._next_id
+        cls._next_id = base + n
+        positions = np.ascontiguousarray(positions, np.float64)
+        zeros3 = np.zeros(3)
+        zeros3.setflags(write=False)  # shared placeholder; writers rebind
+        out = []
+        for k in range(n):
+            mp = cls.__new__(cls)
+            mp.id = base + k
+            mp._table = None
+            mp._slot = -1
+            mp._position = positions[k].copy()
+            mp.ref_kf = None
+            mp.map = None
+            mp.observations = {}
+            mp.n_obs = 0
+            mp.descriptor = descs[k].copy()
+            mp.normal = zeros3
+            mp.min_distance = 0.0
+            mp.max_distance = 0.0
+            mp.bad = False
+            mp.replaced_by = None
+            mp.n_visible = 1
+            mp.n_found = 1
+            mp.first_kf_id = -1
+            mp.track_in_view = False
+            mp.track_proj = None
+            mp.last_frame_seen = -1
+            out.append(mp)
+        return out
+
 
 def refresh_points(mps, descriptors: bool = True) -> None:
     """Batched compute_distinctive_descriptor + update_normal_and_depth.

@@ -366,11 +366,11 @@ class Tracking:
         new_idx = order[:end][need_new[:end]]
         if len(new_idx) == 0:
             return
-        for i, pw in zip(new_idx, lf.unproject_stereo_batch(new_idx)):
-            mp_new = MapPoint(pw, None, None)
-            mp_new.descriptor = lf.desc[i].copy()
-            mps[i] = mp_new
-            self.temporal_points.append(mp_new)
+        fresh = MapPoint.new_temporal_batch(
+            lf.unproject_stereo_batch(new_idx), lf.desc[new_idx]
+        )
+        mps[new_idx] = fresh
+        self.temporal_points.extend(fresh)
 
     def _track_with_motion_model(self) -> bool:
         self._update_last_frame()
@@ -407,18 +407,19 @@ class Tracking:
         nz = np.nonzero(objs != None)[0]  # noqa: E711 — elementwise over objects
         if len(nz) < 3:
             return 0
-        mps = [objs[i] for i in nz]
+        mps = objs[nz]
         table = self.atlas.get_current_map().landmarks
         slots = table.slots_of(mps)
         att = slots >= 0
         sl = np.maximum(slots, 0)
         # attached: table.valid mirrors `not bad`; unattached (temporal VO
-        # points): per-point bad check.  map_only keeps map-anchored
-        # (n_obs > 0) points only — temporals are n_obs == 0 by definition.
+        # points): batched bad check (obs_counts is -1 exactly when bad).
+        # map_only keeps map-anchored (n_obs > 0) points only — temporals
+        # are n_obs == 0 by definition.
         good = att & table.valid[sl]
         if not att.all():
-            for j in np.nonzero(~att)[0]:
-                good[j] = not mps[j].bad
+            ua = np.nonzero(~att)[0]
+            good[ua] = hostops.obs_counts(mps[ua]) >= 0
         if map_only:
             good &= att & (table.n_obs[sl] > 0)
         keep = np.nonzero(good)[0]
@@ -427,9 +428,11 @@ class Tracking:
         idx = nz[keep]
         p3d = table.pos[sl[keep]].copy()
         if not att.all():
-            rows = np.nonzero(~att[keep])[0]
-            for r in rows:  # unattached survivors read their own position
-                p3d[r] = mps[keep[r]].position
+            ua = np.nonzero(~att[keep])[0]
+            if len(ua):  # unattached survivors read their own position
+                p3d[ua] = np.stack(
+                    [mp._position for mp in mps[keep[ua]]]
+                )
         obs = PoseObservations(
             p3d_w=p3d,
             obs_uv=f.kps_un[idx],
