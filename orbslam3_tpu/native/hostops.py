@@ -182,7 +182,8 @@ def collect_obs(mps: list):
     kfs: list = []
     ids: dict = {}
     for i, mp in enumerate(mps):
-        pos[i] = mp._position
+        p = getattr(mp, "_position", None)
+        pos[i] = mp.position if p is None else p
         needn[i] = getattr(mp, "ref_kf", None) is not None
         for kf, (l, r) in mp.observations.items():
             ki = ids.get(id(kf))

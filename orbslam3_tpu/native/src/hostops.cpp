@@ -353,6 +353,7 @@ PyObject *fill_obs(PyObject *, PyObject *args) {
   PyObject *kf_list = bufok ? PyList_New(0) : nullptr;
   std::unordered_map<PyObject *, int64_t> kf_ids;
   PyObject *s_position = PyUnicode_InternFromString("_position");
+  PyObject *s_position_pub = PyUnicode_InternFromString("position");
   PyObject *s_ref_kf = PyUnicode_InternFromString("ref_kf");
   bool err = !bufok || !kf_list || !s_position || !s_ref_kf;
   double *pos = static_cast<double *>(bp.view.buf);
@@ -367,14 +368,23 @@ PyObject *fill_obs(PyObject *, PyObject *args) {
   for (Py_ssize_t g = 0; g < g_count && !err; ++g) {
     PyObject *mp = items[g];
     // position: a (3,) float64 ndarray read through the buffer protocol
+    // (_position slot on MapPoint; duck-typed stand-ins expose `position`)
     PyObject *p = PyObject_GetAttr(mp, s_position);
+    if (!p) {
+      PyErr_Clear();
+      p = PyObject_GetAttr(mp, s_position_pub);
+    }
     if (!p) {
       err = true;
       break;
     }
     Py_buffer pv{};
     if (PyObject_GetBuffer(p, &pv, PyBUF_SIMPLE) < 0 || pv.len != 24) {
-      if (pv.obj) PyBuffer_Release(&pv);
+      if (pv.obj) {
+        PyBuffer_Release(&pv);
+        PyErr_SetString(PyExc_ValueError,
+                        "hostops: position must be (3,) float64");
+      }
       Py_DECREF(p);
       err = true;
       break;
@@ -428,6 +438,7 @@ PyObject *fill_obs(PyObject *, PyObject *args) {
     Py_DECREF(obs);
   }
   Py_XDECREF(s_position);
+  Py_XDECREF(s_position_pub);
   Py_XDECREF(s_ref_kf);
   if (gb.obj) PyBuffer_Release(&gb);
   if (kb.obj) PyBuffer_Release(&kb);

@@ -118,7 +118,7 @@ def _check_rt(r, t, p1n, p2n, inl, th2=16.0):
         & (e1.sum(1) < th2 * 1e-6)
         & (e2.sum(1) < th2 * 1e-6)
     )
-    return good, pw
+    return good, pw, cosp
 
 
 class TwoViewReconstruction:
@@ -187,16 +187,33 @@ class TwoViewReconstruction:
         best = None
         counts = []
         for r, t, inl in candidates:
-            good, pw = _check_rt(r, t, p1n, p2n, inl)
+            good, pw, cosp = _check_rt(r, t, p1n, p2n, inl)
             counts.append(int(good.sum()))
             if best is None or counts[-1] > best[0]:
-                best = (counts[-1], r, t, good, pw)
-        # winner must be substantial AND dominate the runner-up hypothesis
-        # (reference's similar-solution ambiguity rejection)
-        if best is None or best[0] < 30:
+                best = (counts[-1], r, t, good, pw, cosp, inl)
+        # Winner must triangulate nearly every RANSAC inlier AND dominate the
+        # runner-up hypothesis (reference ReconstructF: nMinGood =
+        # max(0.9*N, minTriangulated=50), nsimilar>1 rejection).  The 0.9*N
+        # bound is the main defense against near-zero-baseline pairs: with a
+        # dense init extractor they produce plenty of matches, but most fail
+        # the per-point parallax/cheirality checks, so nGood << 0.9*N.
+        if best is None:
+            return False, None, None, None
+        n_inl = int(np.count_nonzero(best[6]))  # chosen hypothesis' inliers
+        if best[0] < max(int(0.9 * n_inl), 50):
             return False, None, None, None
         second = sorted(counts)[-2] if len(counts) > 1 else 0
         if second > 0.75 * best[0]:
             return False, None, None, None
-        _, r, t, good, pw = best
+        _, r, t, good, pw, cosp, _inl = best
+        # Minimum-parallax gate (reference CheckRT minParallax=1 deg over the
+        # sorted-cos element at min(50, n-1)): with a dense init extractor a
+        # near-zero-baseline pair can satisfy every count gate, but its
+        # triangulated map is depth-degenerate — the reference waits for
+        # ~50 points with >=1 degree of parallax before accepting the init.
+        cos_sorted = np.sort(cosp[good])
+        idx = min(50, len(cos_sorted) - 1)
+        parallax_deg = np.degrees(np.arccos(np.clip(cos_sorted[idx], -1, 1)))
+        if parallax_deg < 1.0:
+            return False, None, None, None
         return True, SE3(r, t), pw, good

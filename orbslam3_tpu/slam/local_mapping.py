@@ -333,7 +333,13 @@ class LocalMapping:
         m.apply_scaled_rotation(t_align, scale, scale_vel=True)
         bias = Bias(np.zeros(3), bg)
         for k, v in zip(chain, vels):
-            k.velocity = scale * (r_gw @ v)
+            # align_visual_inertial's velocities are already METRIC (its
+            # velocity rows carry no scale factor, unlike the reference's
+            # EdgeInertialGS where v is map-scale and ApplyScaledRotation
+            # multiplies by s afterwards) — only rotate into the re-leveled
+            # frame.  Scaling here double-applied s and corrupted the seed
+            # states that ScaleRefinement/VIBA1 start from.
+            k.velocity = r_gw @ v
             k.imu_bias = bias.copy()
             if k.imu_preint is not None:
                 k.imu_preint.set_new_bias(bias)

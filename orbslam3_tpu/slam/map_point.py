@@ -320,7 +320,12 @@ def refresh_points(mps, descriptors: bool = True) -> None:
     omask = needn[grp] if len(grp) else np.zeros(0, bool)
     ogrp = grp[omask]
     ocen = kfi[omask]
-    centers = [kf.camera_center() for kf in kfs]
+    # centers only for KFs actually referenced by a need_norm observation
+    # (duck-typed stand-ins without camera_center stay untouched, as in the
+    # per-point method which early-returns when ref_kf is None)
+    centers = np.zeros((len(kfs), 3))
+    for ui in np.unique(ocen) if len(ocen) else []:
+        centers[ui] = kfs[ui].camera_center()
 
     # --- distinctive descriptors (min median Hamming per group) ----------
     if len(descs_kf):
@@ -372,7 +377,7 @@ def refresh_points(mps, descriptors: bool = True) -> None:
         return
     og = np.asarray(ogrp)
     oc = np.asarray(ocen)
-    cen = np.stack(centers)
+    cen = centers
     v = pos[og] - cen[oc]
     nv = np.sqrt((v * v).sum(axis=1))
     good = nv > 1e-9

@@ -10,6 +10,7 @@ System.cc:197).
 
 from __future__ import annotations
 
+import dataclasses
 import threading
 
 import numpy as np
@@ -18,7 +19,7 @@ from orbslam3_tpu.oracle.orb_cpu import PyramidParams
 from orbslam3_tpu.slam.frame import Frame
 from orbslam3_tpu.slam.local_mapping import LocalMapping
 from orbslam3_tpu.slam.map import Atlas
-from orbslam3_tpu.slam.tracking import Tracking
+from orbslam3_tpu.slam.tracking import Tracking, TrackingState
 from orbslam3_tpu.utils.benchmark import trace_range
 from orbslam3_tpu.utils.lie import SE3
 
@@ -65,6 +66,18 @@ class System:
         self.camera = camera
         self.mbf = mbf
         self.orb_params = orb_params
+        # Monocular initialization extracts 5x the features (the reference's
+        # mpIniORBextractor, Tracking1.cc:601 / Tracking2.cc:413-416): the
+        # two-view init needs a dense match set, and pure mono keeps the
+        # dense extractor for max_frames after init.
+        self.ini_orb_params = (
+            dataclasses.replace(
+                orb_params, n_features=5 * orb_params.n_features
+            )
+            if "mono" in sensor
+            else None
+        )
+        self._mono_frames_since_init = 0
         self.sensor = sensor
         self.use_device = use_device
         self.vocabulary = vocabulary
@@ -385,7 +398,20 @@ class System:
 
         if self.resize_to is not None:
             img = self._resize(img, self.resize_to)
-        out = extract_features_jit(img, self.orb_params)
+        # 5x-feature init extractor while uninitialized; pure mono keeps it
+        # for max_frames after init (Tracking2.cc:413, mpIniORBextractor)
+        params = self.orb_params
+        if self.ini_orb_params is not None:
+            if self.tracker.state in (
+                TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED
+            ):
+                params = self.ini_orb_params
+                self._mono_frames_since_init = 0
+            elif self.sensor == self.MONOCULAR:
+                self._mono_frames_since_init += 1
+                if self._mono_frames_since_init < self.tracker.max_frames:
+                    params = self.ini_orb_params
+        out = extract_features_jit(img, params)
         out = jax.tree.map(np.asarray, out)
         v = out.valid
         frame = Frame(
