@@ -30,6 +30,87 @@ import numpy as np
 import pytest
 
 
+@pytest.fixture(scope="session", autouse=True)
+def _extraction_memo():
+    """On-disk memo for device feature extraction during tests.
+
+    The e2e tiers drive hundreds of DETERMINISTIC synthetic frames through
+    the fused extractor; on the CPU backend each dispatch costs ~0.5-1.5 s,
+    which dominates the slow tier's wall clock.  Inputs are bit-identical
+    across runs, so outputs are too (integer/fixed-point kernels) — memoize
+    them keyed by input-bytes + params.  Extraction correctness itself is
+    covered by the extractor/FAST/BRIEF/pyramid test files, which call the
+    ops directly and never hit this cache.  Set ORBSLAM3_TPU_NO_EXTRACT_CACHE=1
+    to disable (e.g. when changing the device pipeline).
+    """
+    if os.environ.get("ORBSLAM3_TPU_NO_EXTRACT_CACHE"):
+        yield
+        return
+    import hashlib
+    import pickle
+    import tempfile
+
+    from orbslam3_tpu.frontend import stereo_frame as sf_mod
+    from orbslam3_tpu.ops import extractor as ex_mod
+
+    cache_dir = os.path.expanduser("~/.cache/orbslam3_tpu_test_feats")
+    os.makedirs(cache_dir, exist_ok=True)
+
+    # a pipeline-code digest in every key: editing the device pipeline
+    # invalidates the memo, so cached outputs can never mask a regression
+    pkg = os.path.dirname(os.path.dirname(ex_mod.__file__))
+    code_h = hashlib.sha1()
+    for sub in ("ops", "frontend"):
+        d = os.path.join(pkg, sub)
+        for name in sorted(os.listdir(d)):
+            if name.endswith(".py"):
+                with open(os.path.join(d, name), "rb") as f:
+                    code_h.update(f.read())
+    code_digest = code_h.hexdigest()
+
+    def _memo(tag, fn, key_parts):
+        h = hashlib.sha1(tag.encode())
+        h.update(code_digest.encode())
+        for part in key_parts:
+            if isinstance(part, np.ndarray):
+                h.update(np.ascontiguousarray(part).tobytes())
+                h.update(str(part.shape).encode())
+                h.update(str(part.dtype).encode())
+            else:
+                h.update(repr(part).encode())
+        path = os.path.join(cache_dir, h.hexdigest() + ".pkl")
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                return pickle.load(f)
+        out = fn()
+        out = jax.tree.map(np.asarray, out)
+        fd, tmp = tempfile.mkstemp(dir=cache_dir, suffix=".tmp")
+        with os.fdopen(fd, "wb") as f:
+            pickle.dump(out, f)
+        os.replace(tmp, path)  # atomic for concurrent runs
+        return out
+
+    orig_stereo = sf_mod.extract_and_match_stereo
+    orig_mono = ex_mod.extract_features_jit
+
+    def stereo_memo(pair, params, mbf, fx):
+        pair = np.asarray(pair)
+        return _memo("stereo", lambda: orig_stereo(pair, params, mbf, fx),
+                     [pair, params, float(mbf), float(fx)])
+
+    def mono_memo(img, params):
+        img = np.asarray(img)
+        return _memo("mono", lambda: orig_mono(img, params), [img, params])
+
+    sf_mod.extract_and_match_stereo = stereo_memo
+    ex_mod.extract_features_jit = mono_memo
+    try:
+        yield
+    finally:
+        sf_mod.extract_and_match_stereo = orig_stereo
+        ex_mod.extract_features_jit = orig_mono
+
+
 @pytest.fixture(scope="session")
 def test_image():
     """Deterministic structured synthetic frame (EuRoC-like 752x480)."""
