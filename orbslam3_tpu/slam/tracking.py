@@ -288,12 +288,16 @@ class Tracking:
         )
         if not ok or good.sum() < 50:
             return
-        # normalize scale: median depth -> 1 (reference CreateInitialMapMonocular)
+        # normalize scale: median depth -> 1, or -> 4 for mono-inertial
+        # (reference CreateInitialMapMonocular, Tracking3.cc:833-836: the
+        # IMU configuration starts the arbitrary map scale nearer metric for
+        # typical indoor scenes, conditioning the upcoming VI alignment)
         med = float(np.median(pts[good][:, 2]))
         if med <= 0:
             return
-        pts = pts / med
-        T21 = SE3(T21.R, T21.t / med)
+        target = 4.0 if self.imu_calib is not None else 1.0
+        pts = pts * (target / med)
+        T21 = SE3(T21.R, T21.t * (target / med))
         ini.set_pose(SE3())
         frame.set_pose(T21)
         m = self.atlas.get_current_map()
