@@ -93,7 +93,7 @@ def _extraction_memo():
     orig_stereo = sf_mod.extract_and_match_stereo
     orig_mono = ex_mod.extract_features_jit
 
-    def stereo_memo(pair, params, mbf, fx):
+    def stereo_memo(pair, params, mbf=sf_mod.DEFAULT_MBF, fx=sf_mod.DEFAULT_FX):
         pair = np.asarray(pair)
         return _memo("stereo", lambda: orig_stereo(pair, params, mbf, fx),
                      [pair, params, float(mbf), float(fx)])

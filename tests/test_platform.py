@@ -175,23 +175,31 @@ def test_viewer_worker_thread_sequence_dump(tmp_path):
     sysm.viewer = viewer
     viewer.start()
     assert viewer.running()
+
+    def _wait_drawn(n, deadline=20.0):
+        # deadline-poll: fixed sleeps flake on a loaded 1-CPU box where the
+        # render worker may not get scheduled for hundreds of ms
+        t0 = time.monotonic()
+        while viewer.frames_drawn < n and time.monotonic() - t0 < deadline:
+            time.sleep(0.02)
+        return viewer.frames_drawn
+
     for k, (il, ir, tg) in enumerate(frames[:5]):
         sysm.track_stereo(il, ir, k / 20.0)  # viewer.update via System
-        time.sleep(0.05)  # let the worker drain (latest-wins drops allowed)
+        _wait_drawn(k + 1)  # drain each frame (exercises the worker loop)
     # pause: snapshots accepted, no rendering
     viewer.request_pause()
     drawn_at_pause = viewer.frames_drawn
     sysm.track_stereo(frames[5][0], frames[5][1], 5 / 20.0)
-    time.sleep(0.15)
+    time.sleep(0.3)
     assert viewer.frames_drawn == drawn_at_pause
     # step renders exactly the one pending frame
     viewer.step()
-    time.sleep(0.2)
-    assert viewer.frames_drawn == drawn_at_pause + 1
+    assert _wait_drawn(drawn_at_pause + 1) == drawn_at_pause + 1
     viewer.resume()
     for k in (6, 7):
         sysm.track_stereo(frames[k][0], frames[k][1], k / 20.0)
-        time.sleep(0.05)
+        _wait_drawn(viewer.frames_drawn + 1, deadline=5.0)
     sysm.shutdown()  # request_finish + drain
     assert not viewer.running()
     files = os.listdir(tmp_path / "viz")
