@@ -47,11 +47,12 @@ def _raw_score_pallas(img: jax.Array, interpret: bool = False) -> jax.Array:
     """FAST raw score via a row-strip Pallas kernel.
 
     The ring's vertical extent is dy in [-3, 3]: the image is padded by 3
-    and passed as 7 row-shifted views so every strip block sees its halo
-    without overlapping block specs; horizontal offsets are static column
-    slices inside VMEM.  int32 throughout (Mosaic on v5e cannot legalize
-    packed int16 min/max); bit-identical to the XLA/roll formulation and
-    the CPU oracle.
+    and restacked as OVERLAPPED strips of strip+6 rows, so every block
+    carries its own halo (one HBM read of ~1.2x the image, vs the earlier
+    7 row-shifted full-image views at 7x); horizontal offsets are static
+    column slices inside VMEM.  bf16 compute (Mosaic on v5e cannot legalize
+    packed int16 min/max; i32 chains measured 1.7x slower); bit-identical
+    to the XLA/roll formulation and the CPU oracle.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -61,21 +62,22 @@ def _raw_score_pallas(img: jax.Array, interpret: bool = False) -> jax.Array:
     wo = -(-w // 128) * 128
     wp = -(-(wo + 6) // 128) * 128
     hp = -(-h // strip) * strip
+    n = hp // strip
     # bf16 end-to-end: pixels (<=255), ring differences ([-255, 255]) and
     # min/max chains are all exact in bf16, Mosaic runs bf16 min/max packed
-    # 2-per-lane (i32 chains measured 1.7x slower), and bf16 views halve the
-    # HBM view traffic.  Output cast to i32 is exact.
+    # 2-per-lane, and bf16 strips halve the HBM traffic.  Cast to i32 exact.
     padded = jnp.pad(img, ((3, hp - h + 3), (3, wp - w - 3))).astype(
         jnp.bfloat16
-    )
-    views = [jax.lax.slice(padded, (3 + dy, 0), (3 + dy + hp, wp))
-             for dy in range(-3, 4)]
+    )  # (hp + 6, wp)
+    strips = jnp.stack(
+        [jax.lax.slice(padded, (i * strip, 0), (i * strip + strip + 6, wp))
+         for i in range(n)]
+    )  # (n, strip + 6, wp)
 
-    def kernel(*refs):
-        vs, out = refs[:7], refs[7]
-        c = vs[3][:, 3 : 3 + wo]
+    def kernel(v, out):
+        c = v[0, 3 : 3 + strip, 3 : 3 + wo]
         d = [
-            vs[3 + dy][:, 3 + dx : 3 + dx + wo] - c
+            v[0, 3 + dy : 3 + dy + strip, 3 + dx : 3 + dx + wo] - c
             for (dx, dy) in FAST_RING
         ]
 
@@ -95,15 +97,16 @@ def _raw_score_pallas(img: jax.Array, interpret: bool = False) -> jax.Array:
 
     score = pl.pallas_call(
         kernel,
-        grid=(hp // strip,),
+        grid=(n,),
         in_specs=[
-            pl.BlockSpec((strip, wp), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        ]
-        * 7,
+            pl.BlockSpec(
+                (1, strip + 6, wp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            )
+        ],
         out_specs=pl.BlockSpec((strip, wo), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((hp, wo), jnp.int32),
         interpret=interpret,
-    )(*views)
+    )(strips)
     score = score[:h, :w]
     ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
