@@ -206,7 +206,40 @@ def pallas_parity_checks(jax) -> dict:
         fast_mod._PALLAS_ENV = prev
     results["fast_score_exact"] = bool(np.array_equal(got_f, want_f))
 
-    results["ok"] = results["window_gather_exact"] and results["fast_score_exact"]
+    # fused detection (score+mask+retry+NMS one-kernel path) vs the XLA
+    # composition — the whole per-composite pipeline, bit-exact.  Composite
+    # dims must be TILE multiples (as the extractor's shelf packing
+    # guarantees), so the probe crops to 480x736.
+    hc, wc = (h // 32) * 32, (w // 32) * 32
+    img_c = img_u8[:hc, :wc]
+    mask = np.zeros((hc, wc), bool)
+    mask[3 : hc - 3, 3 : wc - 3] = True
+    mask[:, wc // 2 : wc // 2 + 6] = False  # fake level seam
+    got_d = np.asarray(
+        fast_mod._detect_fused_pallas(
+            img_c, mask, 20, 7, interpret=not on_tpu
+        )
+    )
+    fast_mod._PALLAS_ENV = False
+    try:
+        raw_c = fast_mod.raw_score_map(img_c)
+    finally:
+        fast_mod._PALLAS_ENV = prev
+    raw = jnp.where(jnp.asarray(mask), raw_c, 0)
+    hi = jnp.where(raw >= 20, raw, 0)
+    lo = jnp.where(raw >= 7, raw, 0)
+    tmax = jax.lax.reduce_window(
+        hi, jnp.int32(0), jax.lax.max, (32, 32), (32, 32), "VALID"
+    )
+    use_hi = jnp.repeat(jnp.repeat(tmax > 0, 32, axis=0), 32, axis=1)
+    want_d = np.asarray(fast_mod.nms3(jnp.where(use_hi, hi, lo)))
+    results["fused_detect_exact"] = bool(np.array_equal(got_d, want_d))
+
+    results["ok"] = (
+        results["window_gather_exact"]
+        and results["fast_score_exact"]
+        and results["fused_detect_exact"]
+    )
     return results
 
 

@@ -34,6 +34,9 @@ TILE = 32  # two-threshold retry granularity (work-group tile in the reference)
 # Pallas kernel computes the same score reading the image once per VMEM
 # strip (~6x less HBM traffic).  Same integer arithmetic -> bit-identical.
 _PALLAS_ENV = os.environ.get("ORBSLAM3_TPU_PALLAS_FAST", "1") == "1"
+# fully-fused detection (score+mask+retry+NMS in one kernel); independent
+# kill-switch so the phase-1 raw-score kernel + XLA tail stays available
+_PALLAS_DETECT = os.environ.get("ORBSLAM3_TPU_PALLAS_DETECT", "1") == "1"
 
 
 def _use_pallas() -> bool:
@@ -173,6 +176,141 @@ def nms3(score: jax.Array) -> jax.Array:
     return jnp.where(keep & (score > 0), score, 0)
 
 
+def _detect_fused_pallas(
+    comp: jax.Array,
+    mask_np,
+    ini_th: int,
+    min_th: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Masked score + two-threshold retry + strict 3x3 NMS in ONE kernel.
+
+    Replaces the score-map round trip through HBM (raw kernel, then XLA
+    mask/threshold/reduce_window/NMS passes) with a single Pallas launch.
+    Strips are TILE rows tall so each grid step owns exactly one retry-tile
+    row; the cross-strip NMS dependency is resolved with a one-strip lag:
+    step i computes the threshold-selected map of strip i, then emits the
+    NMS'd output of strip i-1 using carried VMEM scratch (sel of strip i-1
+    and the bottom row of strip i-2) — the vertical halo therefore carries
+    the NEIGHBOR strip's own tile-retry selection, exactly matching the
+    unfused semantics.  Grid has n+1 steps; output block max(i-1, 0) is
+    revisited once at the start (garbage from step 0 is overwritten in VMEM
+    before copy-out).  Reference role: TileCalcKeypoints.cl:288-448 (score,
+    NMS, two-threshold retry), fused here instead of relaunched.
+
+    comp: (h, w) uint8 composite, h and w multiples of TILE.
+    mask_np: (h, w) bool numpy — per-level interior (3-px frames zeroed).
+    Returns (h, w) int32 NMS'd score map, bit-identical to the XLA path.
+    """
+    import numpy as np
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    h, w = comp.shape
+    assert h % TILE == 0 and w % TILE == 0
+    strip = TILE
+    n = h // strip
+    wo = -(-w // 128) * 128
+    wc = wo + 2  # computed columns cover x in [-1, wo+1) for the NMS halo
+    wp = wo + 128  # ring halo: x in [-4, wo+4) fits with 4-col lead pad
+    # img[y, x] = P[y + 3, x + 4]
+    P = jnp.pad(comp, ((3, 3), (4, wp - w - 4))).astype(jnp.bfloat16)
+    strips = jnp.stack(
+        [jax.lax.slice(P, (i * strip, 0), (i * strip + strip + 6, wp))
+         for i in range(n)]
+    )  # (n, strip+6, wp)
+    # mask[y, x] = M[y, x + 1]; bf16 {0,1} multiplier
+    M = jnp.asarray(
+        np.pad(mask_np, ((0, 0), (1, wp - w - 1))).astype(np.float32)
+    ).astype(jnp.bfloat16)  # (h, wp)
+
+    def kernel(v, m, out, sel_prev, top_carry):
+        i = pl.program_id(0)
+        c = v[0, 3 : 3 + strip, 3 : 3 + wc]
+        d = [
+            v[0, 3 + dy : 3 + dy + strip, 3 + dx : 3 + dx + wc] - c
+            for (dx, dy) in FAST_RING
+        ]
+
+        def arc(p):
+            m2 = [jnp.minimum(p[o], p[(o + 1) % 16]) for o in range(16)]
+            m4 = [jnp.minimum(m2[o], m2[(o + 2) % 16]) for o in range(16)]
+            m8 = [jnp.minimum(m4[o], m4[(o + 4) % 16]) for o in range(16)]
+            m9 = [jnp.minimum(m8[o], p[(o + 8) % 16]) for o in range(16)]
+            best = m9[0]
+            for o in range(1, 16):
+                best = jnp.maximum(best, m9[o])
+            return best
+
+        raw = (jnp.maximum(arc(d), arc([-x for x in d])) - 1) * m[:, :wc]
+        zero = jnp.zeros_like(raw)
+        hi = jnp.where(raw >= ini_th, raw, zero)
+        lo = jnp.where(raw >= min_th, raw, zero)
+        # per-tile retry flag: group-of-TILE column max of hi over the strip
+        # body (true columns), via a 5-step intra-group butterfly (lane XOR s
+        # emulated with two rotates + parity select; s < TILE never crosses
+        # a group boundary, and wrapped lanes are never selected).
+        colmax = jnp.max(hi[:, 1 : 1 + wo], axis=0, keepdims=True)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, wo), 1)
+        tmax = colmax
+        for s in (1, 2, 4, 8, 16):
+            a = jnp.roll(tmax, -s, axis=1)
+            b = jnp.roll(tmax, s, axis=1)
+            tmax = jnp.maximum(tmax, jnp.where((lane & s) == 0, a, b))
+        use = jnp.concatenate(
+            [jnp.zeros((1, 1), jnp.bool_), tmax > 0,
+             jnp.zeros((1, 1), jnp.bool_)], axis=1
+        )  # (1, wc); the x=-1 / x=wo lanes are mask-zero either way
+        sel = jnp.where(jnp.logical_and(use, i < n), hi, lo)
+        sel = jnp.where(i < n, sel, zero)  # step n: strip doesn't exist
+
+        # emit strip i-1 (scratch reads gated: uninitialized VMEM may be NaN)
+        prev = jnp.where(i >= 1, sel_prev[:, :wc], zero)
+        above = jnp.where(i >= 2, top_carry[:, :wc], zero[:1])
+        below = sel[0:1]
+        stack = jnp.concatenate([above, prev, below], axis=0)  # (strip+2, wc)
+        center = stack[1 : 1 + strip, 1 : 1 + wo]
+        keep = center > 0
+        for dy in (0, 1, 2):
+            for dx in (0, 1, 2):
+                if dy == 1 and dx == 1:
+                    continue
+                keep &= center > stack[dy : dy + strip, dx : dx + wo]
+        out[:] = jnp.where(keep, center, 0).astype(jnp.int32)
+
+        top_carry[:, :wc] = prev[strip - 1 : strip]
+        sel_prev[:, :wc] = sel
+
+    score = pl.pallas_call(
+        kernel,
+        grid=(n + 1,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, strip + 6, wp),
+                lambda i: (jnp.minimum(i, n - 1), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (strip, wp),
+                lambda i: (jnp.minimum(i, n - 1), 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (strip, wo),
+            lambda i: (jnp.maximum(i - 1, 0), 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((h, wo), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((strip, wp), jnp.bfloat16),
+            pltpu.VMEM((1, wp), jnp.bfloat16),
+        ],
+        interpret=interpret,
+    )(strips, M)
+    return score[:, :w]
+
+
 def detect_two_threshold_multi(
     crops: list, ini_th: int, min_th: int
 ) -> list:
@@ -219,19 +357,24 @@ def detect_two_threshold_multi(
         ch, cw = crop.shape
         comp = comp.at[y0 : y0 + ch, x0 : x0 + cw].set(crop)
         meta.append((y0, x0, ch, cw))
-    raw = raw_score_map(comp)
     # per-level 3-px ring frames (static mask)
     mask = np.zeros(comp.shape, bool)
     for (y0, x0, ch, cw) in meta:
         mask[y0 + 3 : y0 + ch - 3, x0 + 3 : x0 + cw - 3] = True
-    raw = jnp.where(jnp.asarray(mask), raw, 0)
-    hi = jnp.where(raw >= ini_th, raw, 0)
-    lo = jnp.where(raw >= min_th, raw, 0)
-    tile_max = jax.lax.reduce_window(
-        hi, jnp.int32(0), jax.lax.max, (TILE, TILE), (TILE, TILE), "VALID"
-    )
-    use_hi = jnp.repeat(jnp.repeat(tile_max > 0, TILE, axis=0), TILE, axis=1)
-    score = nms3(jnp.where(use_hi, hi, lo))
+    if _use_pallas() and _PALLAS_DETECT:
+        score = _detect_fused_pallas(comp, mask, ini_th, min_th)
+    else:
+        raw = raw_score_map(comp)
+        raw = jnp.where(jnp.asarray(mask), raw, 0)
+        hi = jnp.where(raw >= ini_th, raw, 0)
+        lo = jnp.where(raw >= min_th, raw, 0)
+        tile_max = jax.lax.reduce_window(
+            hi, jnp.int32(0), jax.lax.max, (TILE, TILE), (TILE, TILE), "VALID"
+        )
+        use_hi = jnp.repeat(
+            jnp.repeat(tile_max > 0, TILE, axis=0), TILE, axis=1
+        )
+        score = nms3(jnp.where(use_hi, hi, lo))
     return [
         score[y0 : y0 + ch, x0 : x0 + cw] for (y0, x0, ch, cw) in meta
     ]
