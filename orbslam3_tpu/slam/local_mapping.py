@@ -21,6 +21,71 @@ from orbslam3_tpu.slam import matchers
 from orbslam3_tpu.slam.map_point import MapPoint, refresh_points
 
 
+def triangulation_gates(kf, kf2, pairs):
+    """Vectorized candidate-pair ladder of CreateNewMapPoints.
+
+    Semantics-identical to the reference's per-pair ladder
+    (/root/reference/src/LocalMapping.cc:461-584): parallax choice,
+    DLT-vs-stereo source select, cheirality, per-view reprojection chi2
+    (stereo obs: combined <= 7.8 incl. right-view error; mono: <= 5.991),
+    scale consistency — evaluated as (N,) array ops instead of a Python
+    loop.  Returns (ok mask, world points (N, 3), i1s, i2s).
+    """
+    T1, T2 = kf.Tcw, kf2.Tcw
+    ow1 = kf.camera_center()
+    ow2 = kf2.camera_center()
+    i1s = np.fromiter((p[0] for p in pairs), np.int64, len(pairs))
+    i2s = np.fromiter((p[1] for p in pairs), np.int64, len(pairs))
+    b1 = kf.camera.unproject(kf.kps_un[i1s])  # (N, 3)
+    b2 = kf2.camera.unproject(kf2.kps_un[i2s])
+    r1 = b1 @ T1.R  # rows = R^T b
+    r2 = b2 @ T2.R
+    cos_par = np.einsum("ij,ij->i", r1, r2) / (
+        np.linalg.norm(r1, axis=1) * np.linalg.norm(r2, axis=1)
+    )
+    z1d = kf.depth[i1s]
+    z2d = kf2.depth[i2s]
+    cos_st1 = np.where(z1d > 0, np.cos(2 * np.arctan2(kf.mb / 2, z1d)), 2.0)
+    cos_st2 = np.where(z2d > 0, np.cos(2 * np.arctan2(kf2.mb / 2, z2d)), 2.0)
+    cos_st = np.minimum(cos_st1, cos_st2)
+    tri = (0 < cos_par) & (cos_par < 0.9998) & (cos_par < cos_st)
+    st1 = ~tri & (z1d > 0) & (cos_st1 < cos_st2)
+    st2 = ~tri & ~st1 & (z2d > 0) & (cos_st2 < cos_st1)
+    ok = tri | st1 | st2
+    pw = np.zeros((len(pairs), 3))
+    if tri.any():
+        pw[tri] = triangulate_linear(b1[tri], b2[tri], T1, T2)
+    if st1.any():  # unproject_stereo role: ray * depth into world
+        pw[st1] = kf.Twc.apply(b1[st1] * z1d[st1, None])
+    if st2.any():
+        pw[st2] = kf2.Twc.apply(b2[st2] * z2d[st2, None])
+    p1c = T1.apply(pw)
+    p2c = T2.apply(pw)
+    ok &= (p1c[:, 2] > 0) & (p2c[:, 2] > 0)
+    for kfx, ixs, pc in ((kf, i1s, p1c), (kf2, i2s, p2c)):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            uv = kfx.camera.project(pc)
+            e = uv - kfx.kps_un[ixs]
+            inv_s2 = kfx.inv_level_sigma2[kfx.octave[ixs]]
+            chi = np.einsum("ij,ij->i", e, e) * inv_s2
+            stereo_obs = kfx.u_right[ixs] >= 0
+            ur_p = uv[:, 0] - kfx.mbf / pc[:, 2]
+            chi_st = chi + (ur_p - kfx.u_right[ixs]) ** 2 * inv_s2
+        ok &= np.where(stereo_obs, chi_st <= 7.8, chi <= 5.991)
+    d1 = np.linalg.norm(pw - ow1, axis=1)
+    d2 = np.linalg.norm(pw - ow2, axis=1)
+    ok &= (d1 != 0) & (d2 != 0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = d2 / np.where(d1 == 0, 1.0, d1)
+        sf = kf.scale_factors[1] / kf.scale_factors[0]
+        ratio_oct = (
+            kf.scale_factors[kf.octave[i1s]]
+            / kf2.scale_factors[kf2.octave[i2s]]
+        )
+        ok &= (ratio / ratio_oct <= sf * 1.5) & (ratio_oct / ratio <= sf * 1.5)
+    return ok, pw, i1s, i2s
+
+
 class LocalMapping:
     def __init__(self, atlas, monocular: bool = False, sequential: bool = True,
                  imu_calib=None):
@@ -197,78 +262,18 @@ class LocalMapping:
             pairs = matchers.search_for_triangulation(kf, kf2)
             if not pairs:
                 continue
-            T1, T2 = kf.Tcw, kf2.Tcw
-            for i1, i2 in pairs:
-                b1 = kf.camera.unproject(kf.kps_un[i1 : i1 + 1])[0]
-                b2 = kf2.camera.unproject(kf2.kps_un[i2 : i2 + 1])[0]
-                # parallax between rays
-                r1 = T1.R.T @ b1
-                r2 = T2.R.T @ b2
-                cos_par = r1 @ r2 / (np.linalg.norm(r1) * np.linalg.norm(r2))
-                # stereo parallax alternatives
-                cos_st1 = (
-                    np.cos(2 * np.arctan2(kf.mb / 2, kf.depth[i1]))
-                    if kf.depth[i1] > 0
-                    else 2.0
-                )
-                cos_st2 = (
-                    np.cos(2 * np.arctan2(kf2.mb / 2, kf2.depth[i2]))
-                    if kf2.depth[i2] > 0
-                    else 2.0
-                )
-                cos_st = min(cos_st1, cos_st2)
-                if 0 < cos_par < 0.9998 and cos_par < cos_st:
-                    pw = triangulate_linear(b1[None], b2[None], T1, T2)[0]
-                elif kf.depth[i1] > 0 and cos_st1 < cos_st2:
-                    pw = kf.unproject_stereo(i1)
-                elif kf2.depth[i2] > 0 and cos_st2 < cos_st1:
-                    pw = kf2.unproject_stereo(i2)
-                else:
-                    continue
-                if pw is None:
-                    continue
-                # cheirality
-                z1 = (T1 * pw)[2]
-                z2 = (T2 * pw)[2]
-                if z1 <= 0 or z2 <= 0:
-                    continue
-                # reprojection gates
-                for kfx, ix, z in ((kf, i1, z1), (kf2, i2, z2)):
-                    uv = kfx.camera.project((kfx.Tcw * pw)[None])[0]
-                    e = uv - kfx.kps_un[ix]
-                    chi = (e @ e) * kfx.inv_level_sigma2[kfx.octave[ix]]
-                    if kfx.u_right[ix] >= 0:
-                        ur_p = uv[0] - kfx.mbf / z
-                        chi += (ur_p - kfx.u_right[ix]) ** 2 * kfx.inv_level_sigma2[
-                            kfx.octave[ix]
-                        ]
-                        if chi > 7.8:
-                            break
-                    elif chi > 5.991:
-                        break
-                else:
-                    # scale-consistency
-                    d1 = np.linalg.norm(pw - ow1)
-                    d2 = np.linalg.norm(pw - ow2)
-                    if d1 == 0 or d2 == 0:
-                        continue
-                    ratio = d2 / d1
-                    sf = kf.scale_factors[1] / kf.scale_factors[0]
-                    ratio_oct = (
-                        kf.scale_factors[kf.octave[i1]]
-                        / kf2.scale_factors[kf2.octave[i2]]
-                    )
-                    if ratio / ratio_oct > sf * 1.5 or ratio_oct / ratio > sf * 1.5:
-                        continue
-                    mp = MapPoint(pw, kf, m)
-                    mp.add_observation(kf, i1)
-                    mp.add_observation(kf2, i2)
-                    kf.add_map_point(mp, i1)
-                    kf2.add_map_point(mp, i2)
-                    m.add_map_point(mp)
-                    self.recent_map_points.append(mp)
-                    fresh.append(mp)
-                    created += 1
+            ok, pw, i1s, i2s = triangulation_gates(kf, kf2, pairs)
+            for j in np.flatnonzero(ok):
+                i1, i2 = int(i1s[j]), int(i2s[j])
+                mp = MapPoint(pw[j], kf, m)
+                mp.add_observation(kf, i1)
+                mp.add_observation(kf2, i2)
+                kf.add_map_point(mp, i1)
+                kf2.add_map_point(mp, i2)
+                m.add_map_point(mp)
+                self.recent_map_points.append(mp)
+                fresh.append(mp)
+                created += 1
         refresh_points(fresh)
         return created
 

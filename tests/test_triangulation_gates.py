@@ -1,0 +1,158 @@
+"""Parity of the vectorized triangulation candidate ladder vs a scalar
+oracle transcribing the reference's per-pair control flow
+(/root/reference/src/LocalMapping.cc:461-584).
+
+`triangulation_gates` replaced the per-pair Python loop in
+LocalMapping._create_new_map_points; this pins its branch semantics
+(DLT vs stereo-unproject source select, cheirality, per-view chi2 with
+the stereo/mono threshold split, scale consistency) against keyframes
+produced by a real fabricated tracking run — including pairs that FAIL
+each gate.
+"""
+
+import numpy as np
+
+from orbslam3_tpu.optim.triangulate import triangulate_linear
+from orbslam3_tpu.slam import matchers
+from orbslam3_tpu.slam.local_mapping import triangulation_gates
+
+
+def _scalar_oracle(kf, kf2, pairs):
+    """The pre-vectorization per-pair ladder, kept verbatim as oracle."""
+    T1, T2 = kf.Tcw, kf2.Tcw
+    ow1, ow2 = kf.camera_center(), kf2.camera_center()
+    keep, pws = [], []
+    for i1, i2 in pairs:
+        b1 = kf.camera.unproject(kf.kps_un[i1 : i1 + 1])[0]
+        b2 = kf2.camera.unproject(kf2.kps_un[i2 : i2 + 1])[0]
+        r1 = T1.R.T @ b1
+        r2 = T2.R.T @ b2
+        cos_par = r1 @ r2 / (np.linalg.norm(r1) * np.linalg.norm(r2))
+        cos_st1 = (
+            np.cos(2 * np.arctan2(kf.mb / 2, kf.depth[i1]))
+            if kf.depth[i1] > 0
+            else 2.0
+        )
+        cos_st2 = (
+            np.cos(2 * np.arctan2(kf2.mb / 2, kf2.depth[i2]))
+            if kf2.depth[i2] > 0
+            else 2.0
+        )
+        cos_st = min(cos_st1, cos_st2)
+        if 0 < cos_par < 0.9998 and cos_par < cos_st:
+            pw = triangulate_linear(b1[None], b2[None], T1, T2)[0]
+        elif kf.depth[i1] > 0 and cos_st1 < cos_st2:
+            pw = kf.unproject_stereo(i1)
+        elif kf2.depth[i2] > 0 and cos_st2 < cos_st1:
+            pw = kf2.unproject_stereo(i2)
+        else:
+            continue
+        if pw is None:
+            continue
+        z1 = (T1 * pw)[2]
+        z2 = (T2 * pw)[2]
+        if z1 <= 0 or z2 <= 0:
+            continue
+        for kfx, ix, z in ((kf, i1, z1), (kf2, i2, z2)):
+            uv = kfx.camera.project((kfx.Tcw * pw)[None])[0]
+            e = uv - kfx.kps_un[ix]
+            chi = (e @ e) * kfx.inv_level_sigma2[kfx.octave[ix]]
+            if kfx.u_right[ix] >= 0:
+                ur_p = uv[0] - kfx.mbf / z
+                chi += (ur_p - kfx.u_right[ix]) ** 2 * kfx.inv_level_sigma2[
+                    kfx.octave[ix]
+                ]
+                if chi > 7.8:
+                    break
+            elif chi > 5.991:
+                break
+        else:
+            d1 = np.linalg.norm(pw - ow1)
+            d2 = np.linalg.norm(pw - ow2)
+            if d1 == 0 or d2 == 0:
+                continue
+            ratio = d2 / d1
+            sf = kf.scale_factors[1] / kf.scale_factors[0]
+            ratio_oct = (
+                kf.scale_factors[kf.octave[i1]]
+                / kf2.scale_factors[kf2.octave[i2]]
+            )
+            if ratio / ratio_oct > sf * 1.5 or ratio_oct / ratio > sf * 1.5:
+                continue
+            keep.append((i1, i2))
+            pws.append(pw)
+    return keep, pws
+
+
+def _tracked_keyframes(n_frames=80):
+    from test_fabricated_e2e import CAM, MBF, W, H, _feats_at, _pose, _world
+    from orbslam3_tpu.oracle.orb_cpu import PyramidParams
+    from orbslam3_tpu.slam.system import System
+
+    pts, descs, rng = _world()
+    sysm = System(CAM, MBF, PyramidParams(n_features=800),
+                  sequential=True, max_frames=6)
+    for k in range(n_frames):
+        feats = _feats_at(pts, descs, rng, _pose(k))
+        sysm.track_stereo_features(feats, k / 20.0, (0, 0, W, H))
+    kfs = sysm.atlas.get_current_map().get_all_keyframes()
+    return [k for k in kfs if not k.bad]
+
+
+def test_gates_match_scalar_oracle_on_real_keyframes():
+    kfs = _tracked_keyframes()
+    assert len(kfs) >= 3
+    # the fabricated tracker associates every feature; free half the slots
+    # so search_for_triangulation has un-associated keypoints to pair
+    for k in kfs:
+        for i in range(0, k.n, 2):
+            k.map_points[i] = None
+    checked_pairs = 0
+    for kf in kfs[-6:]:
+        for kf2 in kf.get_best_covisibility_keyframes(10):
+            if kf2.bad:
+                continue
+            pairs = matchers.search_for_triangulation(kf, kf2)
+            if not pairs:
+                continue
+            ok, pw, i1s, i2s = triangulation_gates(kf, kf2, pairs)
+            want_keep, want_pws = _scalar_oracle(kf, kf2, pairs)
+            got_keep = [
+                (int(i1s[j]), int(i2s[j])) for j in np.flatnonzero(ok)
+            ]
+            assert got_keep == want_keep
+            got_pws = [pw[j] for j in np.flatnonzero(ok)]
+            for g, w in zip(got_pws, want_pws):
+                np.testing.assert_allclose(g, w, rtol=0, atol=1e-9)
+            checked_pairs += len(pairs)
+    assert checked_pairs > 200  # the run must actually exercise the ladder
+
+
+def test_gates_exercise_failure_branches():
+    """Corrupt depths/poses so stereo-select, cheirality and chi2 branches
+    all flip, and re-check parity on the perturbed keyframes."""
+    kfs = _tracked_keyframes(24)
+    rng = np.random.default_rng(7)
+    kf = kfs[-1]
+    cands = [k for k in kf.get_best_covisibility_keyframes(10) if not k.bad]
+    assert cands
+    kf2 = cands[0]
+    for k in (kf, kf2):
+        for i in range(0, k.n, 2):
+            k.map_points[i] = None
+    pairs = matchers.search_for_triangulation(kf, kf2)
+    assert pairs
+    # knock out half of kf's depths (forces mono/stereo mix), jitter kps
+    kf.depth = kf.depth.copy()
+    kf.depth[:: 2] = -1.0
+    kf.u_right = kf.u_right.copy()
+    kf.u_right[:: 2] = -1.0
+    kf.kps_un = kf.kps_un + rng.normal(0, 3.0, kf.kps_un.shape)
+    ok, pw, i1s, i2s = triangulation_gates(kf, kf2, pairs)
+    want_keep, want_pws = _scalar_oracle(kf, kf2, pairs)
+    got_keep = [(int(i1s[j]), int(i2s[j])) for j in np.flatnonzero(ok)]
+    assert got_keep == want_keep
+    for j, w in zip(np.flatnonzero(ok), want_pws):
+        np.testing.assert_allclose(pw[j], w, rtol=0, atol=1e-9)
+    # perturbation must have rejected something, else the test proves little
+    assert len(want_keep) < len(pairs)
