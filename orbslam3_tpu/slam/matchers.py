@@ -546,49 +546,58 @@ def search_for_triangulation(kf1, kf2, coarse: bool = False,
     else:
         ep = np.array([1e9, 1e9])
 
-    free1 = [i for i in range(kf1.n) if kf1.map_points[i] is None]
-    free2 = [i for i in range(kf2.n) if kf2.map_points[i] is None]
-    if not free1 or not free2:
+    free1 = np.array(
+        [i for i in range(kf1.n) if kf1.map_points[i] is None], np.int64
+    )
+    free2 = np.array(
+        [i for i in range(kf2.n) if kf2.map_points[i] is None], np.int64
+    )
+    if len(free1) == 0 or len(free2) == 0:
         return []
-    d2 = kf2.desc[free2]
+    # Batched gates (was per-candidate in a per-row walk: one argsort and
+    # one desc_distances per free1 feature dominated local mapping).  The
+    # greedy first-come-claims-i2 semantics of the reference walk are kept:
+    # all order-independent gates (Hamming, epipole proximity, epipolar
+    # line) are precomputed as matrices, then a cheap sequential scan
+    # resolves the used2 interaction in the original order.
+    from orbslam3_tpu.native import hamming_matrix as _hm
+
+    D = _hm(kf1.desc[free1], kf2.desc[free2])  # (n1, n2)
+    valid = D <= TH_LOW
+    stereo1 = kf1.u_right[free1] >= 0
+    stereo2 = kf2.u_right[free2] >= 0
+    dxy = ep[None, :] - kf2.kps_un[free2]
+    near_ep = (dxy * dxy).sum(axis=1) < (
+        100 * kf2.scale_factors[kf2.octave[free2]] ** 2
+    )
+    valid &= ~(~stereo1[:, None] & (~stereo2 & near_ep)[None, :])
+    ai, oi = np.nonzero(valid)
+    if len(ai):
+        valid[ai, oi] = kf1.camera.epipolar_constrain(
+            kf2.camera,
+            kf1.kps_un[free1[ai]],
+            kf2.kps_un[free2[oi]],
+            R12,
+            t12,
+            kf2.level_sigma2[kf2.octave[free2[oi]]],
+            unc=5.991 if not coarse else 50.0,
+        )
+    order = np.argsort(D, axis=1, kind="stable")
+    counts = np.count_nonzero(D <= TH_LOW, axis=1)
     pairs = []
-    used2 = {}
+    used2 = np.zeros(len(free2), bool)
     rot, rot_idx = [], []
-    for a, i1 in enumerate(free1):
-        stereo1 = kf1.u_right[i1] >= 0
-        dists = desc_distances(kf1.desc[i1], d2)
-        order = np.argsort(dists, kind="stable")
+    for a in range(len(free1)):
         best_j = -1
-        for o in order:
-            d = int(dists[o])
-            if d > TH_LOW:
-                break
-            i2 = free2[int(o)]
-            if i2 in used2:
+        for o in order[a, : counts[a]]:
+            if used2[o] or not valid[a, o]:
                 continue
-            stereo2 = kf2.u_right[i2] >= 0
-            if not stereo1 and not stereo2:
-                # check distance to epipole (pure-mono pairs near the
-                # epipole triangulate badly)
-                dx = ep[0] - kf2.kps_un[i2][0]
-                dy = ep[1] - kf2.kps_un[i2][1]
-                if dx * dx + dy * dy < 100 * kf2.scale_factors[kf2.octave[i2]] ** 2:
-                    continue
-            ok = kf1.camera.epipolar_constrain(
-                kf2.camera,
-                kf1.kps_un[i1 : i1 + 1],
-                kf2.kps_un[i2 : i2 + 1],
-                R12,
-                t12,
-                kf2.level_sigma2[kf2.octave[i2]],
-                unc=5.991 if not coarse else 50.0,
-            )[0]
-            if ok:
-                best_j = i2
-                break
+            best_j = int(free2[o])
+            used2[o] = True
+            break
         if best_j >= 0:
+            i1 = int(free1[a])
             pairs.append((i1, best_j))
-            used2[best_j] = i1
             if check_rotation:
                 dr = kf1.angle[i1] - kf2.angle[best_j]
                 rot.append(dr + 360 if dr < 0 else dr)

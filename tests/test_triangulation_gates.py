@@ -128,6 +128,89 @@ def test_gates_match_scalar_oracle_on_real_keyframes():
     assert checked_pairs > 200  # the run must actually exercise the ladder
 
 
+def _scalar_search_for_triangulation(kf1, kf2, coarse=False,
+                                     check_rotation=False):
+    """Pre-vectorization walk of matchers.search_for_triangulation, kept
+    verbatim as oracle (reference role: ORBmatcher2.cc:179)."""
+    from orbslam3_tpu.slam.matchers import (
+        TH_LOW, _rotation_consistency, desc_distances,
+    )
+
+    T1w, T2w = kf1.Tcw, kf2.Tcw
+    T12 = T1w * T2w.inverse()
+    R12, t12 = T12.R, T12.t
+    c1_in2 = T2w * kf1.camera_center()
+    if c1_in2[2] != 0:
+        ep = kf2.camera.project(c1_in2[None])[0]
+    else:
+        ep = np.array([1e9, 1e9])
+    free1 = [i for i in range(kf1.n) if kf1.map_points[i] is None]
+    free2 = [i for i in range(kf2.n) if kf2.map_points[i] is None]
+    if not free1 or not free2:
+        return []
+    d2 = kf2.desc[free2]
+    pairs = []
+    used2 = {}
+    rot, rot_idx = [], []
+    for a, i1 in enumerate(free1):
+        stereo1 = kf1.u_right[i1] >= 0
+        dists = desc_distances(kf1.desc[i1], d2)
+        order = np.argsort(dists, kind="stable")
+        best_j = -1
+        for o in order:
+            d = int(dists[o])
+            if d > TH_LOW:
+                break
+            i2 = free2[int(o)]
+            if i2 in used2:
+                continue
+            stereo2 = kf2.u_right[i2] >= 0
+            if not stereo1 and not stereo2:
+                dx = ep[0] - kf2.kps_un[i2][0]
+                dy = ep[1] - kf2.kps_un[i2][1]
+                if dx * dx + dy * dy < 100 * kf2.scale_factors[
+                    kf2.octave[i2]
+                ] ** 2:
+                    continue
+            ok = kf1.camera.epipolar_constrain(
+                kf2.camera, kf1.kps_un[i1 : i1 + 1], kf2.kps_un[i2 : i2 + 1],
+                R12, t12, kf2.level_sigma2[kf2.octave[i2]],
+                unc=5.991 if not coarse else 50.0,
+            )[0]
+            if ok:
+                best_j = i2
+                break
+        if best_j >= 0:
+            pairs.append((i1, best_j))
+            used2[best_j] = i1
+            if check_rotation:
+                dr = kf1.angle[i1] - kf2.angle[best_j]
+                rot.append(dr + 360 if dr < 0 else dr)
+                rot_idx.append(len(pairs) - 1)
+    if check_rotation and pairs:
+        keep = _rotation_consistency(rot, rot_idx)
+        pairs = [p for k, p in enumerate(pairs) if k in keep]
+    return pairs
+
+
+def test_search_for_triangulation_matches_scalar_walk():
+    kfs = _tracked_keyframes()
+    for k in kfs:
+        for i in range(0, k.n, 2):
+            k.map_points[i] = None
+    checked = 0
+    for kf in kfs[-4:]:
+        for kf2 in kf.get_best_covisibility_keyframes(6):
+            if kf2.bad:
+                continue
+            for kwargs in ({}, {"coarse": True}, {"check_rotation": True}):
+                got = matchers.search_for_triangulation(kf, kf2, **kwargs)
+                want = _scalar_search_for_triangulation(kf, kf2, **kwargs)
+                assert got == want
+                checked += len(want)
+    assert checked > 100
+
+
 def test_gates_exercise_failure_branches():
     """Corrupt depths/poses so stereo-select, cheirality and chi2 branches
     all flip, and re-check parity on the perturbed keyframes."""
