@@ -114,6 +114,12 @@ def _init_jax():
     # variant; cached reruns keep the whole benchmark under the deadline
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # offline validation hook: the axon plugin overrides JAX_PLATFORMS, so
+    # exercising the full stage machinery without the relay needs an
+    # explicit post-import pin (numbers produced this way are NOT headline
+    # numbers — the driver never sets this)
+    if os.environ.get("BENCH_FORCE_CPU") == "1":
+        jax.config.update("jax_platforms", "cpu")
     # the axon relay occasionally drops for minutes; ride out short outages
     # (the watchdog bounds a full hang)
     while True:
@@ -261,9 +267,35 @@ def _main_measurements() -> None:
     # ---- stage A: headline FIRST (cache-warm program from prior rounds) ----
     # n=64 amortises the relay's fixed ~26-45 ms dispatch latency inside ONE
     # lax.scan dispatch; at n=64 the residual overhead is < 0.7 ms/frame.
+    # Kernel-fallback ladder: the round-3 Mosaic kernels (fused detection,
+    # halo-strip FAST) were written during a relay outage and have never
+    # compiled on real hardware — if Mosaic rejects one, retry with the
+    # fused-detect path off, then with Pallas off entirely (pure XLA), so a
+    # kernel lowering failure costs one compile attempt, not the artifact.
+    from orbslam3_tpu.ops import fast as fast_mod
+
     n = 64
-    run64, pairs64 = _build_run(jax, params, n)
-    np.asarray(run64(pairs64))  # compile + warmup
+    run64 = pairs64 = None
+    for setting in ("as-configured", "no-fused-detect", "no-pallas"):
+        try:
+            if setting == "no-fused-detect":
+                fast_mod._PALLAS_DETECT = False
+            elif setting == "no-pallas":
+                fast_mod._PALLAS_ENV = False
+            run64, pairs64 = _build_run(jax, params, n)
+            np.asarray(run64(pairs64))  # compile + warmup
+            if setting != "as-configured":
+                print(json.dumps({
+                    "metric": "kernel_fallback",
+                    "value": setting,
+                    "note": "preferred Pallas path failed to compile/run; see stderr",
+                }), flush=True)
+            break
+        except Exception as e:
+            if setting == "no-pallas":
+                raise
+            print(f"stage A ({setting}) failed: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
     wall = _median_wall_ms(run64, pairs64, 3)
     _record(wall / n, "median of 3 runs, 64-frame scan, wall/64")
     wall64_best = wall

@@ -96,4 +96,13 @@ def main(seq_dir: str, settings_path: str, voc_path: str | None = None,
 
 
 if __name__ == "__main__":
+    if len(sys.argv) < 3:
+        print(
+            "usage: run_euroc.py <seq_dir> <settings.yaml> [--imu] [--max-frames N]\n"
+            "  seq_dir: EuRoC sequence root (mav0/cam0/data, mav0/cam1/data,\n"
+            "  mav0/imu0/data.csv).  Writes CameraTrajectory.txt and\n"
+            "  KeyFrameTrajectory.txt (TUM format) — the reference's\n"
+            "  stereo_euroc / stereo_inertial_euroc example contract."
+        )
+        sys.exit(2)
     main(*sys.argv[1:])

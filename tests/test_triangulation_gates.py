@@ -84,7 +84,12 @@ def _scalar_oracle(kf, kf2, pairs):
     return keep, pws
 
 
+_RUN_CACHE: dict[int, list] = {}
+
+
 def _tracked_keyframes(n_frames=80):
+    if n_frames in _RUN_CACHE:
+        return _RUN_CACHE[n_frames]
     from test_fabricated_e2e import CAM, MBF, W, H, _feats_at, _pose, _world
     from orbslam3_tpu.oracle.orb_cpu import PyramidParams
     from orbslam3_tpu.slam.system import System
@@ -96,17 +101,20 @@ def _tracked_keyframes(n_frames=80):
         feats = _feats_at(pts, descs, rng, _pose(k))
         sysm.track_stereo_features(feats, k / 20.0, (0, 0, W, H))
     kfs = sysm.atlas.get_current_map().get_all_keyframes()
-    return [k for k in kfs if not k.bad]
+    kfs = [k for k in kfs if not k.bad]
+    # the fabricated tracker associates every feature; free half the slots
+    # once at build time so search_for_triangulation has un-associated
+    # keypoints to pair (and the cached state is mutation-stable)
+    for k in kfs:
+        for i in range(0, k.n, 2):
+            k.map_points[i] = None
+    _RUN_CACHE[n_frames] = kfs
+    return kfs
 
 
 def test_gates_match_scalar_oracle_on_real_keyframes():
     kfs = _tracked_keyframes()
     assert len(kfs) >= 3
-    # the fabricated tracker associates every feature; free half the slots
-    # so search_for_triangulation has un-associated keypoints to pair
-    for k in kfs:
-        for i in range(0, k.n, 2):
-            k.map_points[i] = None
     checked_pairs = 0
     for kf in kfs[-6:]:
         for kf2 in kf.get_best_covisibility_keyframes(10):
@@ -195,9 +203,6 @@ def _scalar_search_for_triangulation(kf1, kf2, coarse=False,
 
 def test_search_for_triangulation_matches_scalar_walk():
     kfs = _tracked_keyframes()
-    for k in kfs:
-        for i in range(0, k.n, 2):
-            k.map_points[i] = None
     checked = 0
     for kf in kfs[-4:]:
         for kf2 in kf.get_best_covisibility_keyframes(6):
@@ -220,9 +225,6 @@ def test_gates_exercise_failure_branches():
     cands = [k for k in kf.get_best_covisibility_keyframes(10) if not k.bad]
     assert cands
     kf2 = cands[0]
-    for k in (kf, kf2):
-        for i in range(0, k.n, 2):
-            k.map_points[i] = None
     pairs = matchers.search_for_triangulation(kf, kf2)
     assert pairs
     # knock out half of kf's depths (forces mono/stereo mix), jitter kps
