@@ -201,6 +201,15 @@ def _detect_fused_pallas(
     comp: (h, w) uint8 composite, h and w multiples of TILE.
     mask_np: (h, w) bool numpy — per-level interior (3-px frames zeroed).
     Returns (h, w) int32 NMS'd score map, bit-identical to the XLA path.
+
+    Mosaic constraint (found on hardware, r3): every lane-dimension slice /
+    store must be a multiple of the 128-lane vreg — odd widths (the old
+    wo+2 "NMS halo" layout) lower to masked bf16 loads that trip an
+    internal legalization assert.  So all row vectors here are exactly
+    `wo` lanes (x == lane), and the one-column NMS halo is realised as
+    zero-filled native rotates instead: columns x=-1 and x=wo are
+    statically mask-zero (each level keeps a 3-px zeroed frame), so a
+    zero neighbor is exact.
     """
     import numpy as np
     from jax.experimental import pallas as pl
@@ -211,24 +220,36 @@ def _detect_fused_pallas(
     strip = TILE
     n = h // strip
     wo = -(-w // 128) * 128
-    wc = wo + 2  # computed columns cover x in [-1, wo+1) for the NMS halo
-    wp = wo + 128  # ring halo: x in [-4, wo+4) fits with 4-col lead pad
-    # img[y, x] = P[y + 3, x + 4]
-    P = jnp.pad(comp, ((3, 3), (4, wp - w - 4))).astype(jnp.bfloat16)
+    wp = wo + 128  # ring halo: x in [-3, wo+3) fits with a 3-col lead pad
+    # img[y, x] = P[y + 3, x + 3]
+    P = jnp.pad(comp, ((3, 3), (3, wp - w - 3))).astype(jnp.bfloat16)
     strips = jnp.stack(
         [jax.lax.slice(P, (i * strip, 0), (i * strip + strip + 6, wp))
          for i in range(n)]
     )  # (n, strip+6, wp)
-    # mask[y, x] = M[y, x + 1]; bf16 {0,1} multiplier
+    # mask[y, x] = M[y, x]; f32 {0,1} multiplier (compares must be f32:
+    # Mosaic on v5e rejects packed-bf16 comparisons — only the min/max arc
+    # chain stays bf16)
     M = jnp.asarray(
-        np.pad(mask_np, ((0, 0), (1, wp - w - 1))).astype(np.float32)
-    ).astype(jnp.bfloat16)  # (h, wp)
+        np.pad(mask_np, ((0, 0), (0, wo - w))).astype(np.float32)
+    )  # (h, wo)
 
     def kernel(v, m, out, sel_prev, top_carry):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, wo), 1)
+
+        def _shift_cols(a, dx):
+            """Columns moved so lane x reads old lane x+dx; zero fill."""
+            if dx == 0:
+                return a
+            r = pltpu.roll(a, (-dx) % wo, axis=1)
+            if dx > 0:
+                return jnp.where(lane < wo - dx, r, 0.0)
+            return jnp.where(lane >= -dx, r, 0.0)
+
         i = pl.program_id(0)
-        c = v[0, 3 : 3 + strip, 3 : 3 + wc]
+        c = v[0, 3 : 3 + strip, 3 : 3 + wo]
         d = [
-            v[0, 3 + dy : 3 + dy + strip, 3 + dx : 3 + dx + wc] - c
+            v[0, 3 + dy : 3 + dy + strip, 3 + dx : 3 + dx + wo] - c
             for (dx, dy) in FAST_RING
         ]
 
@@ -242,44 +263,49 @@ def _detect_fused_pallas(
                 best = jnp.maximum(best, m9[o])
             return best
 
-        raw = (jnp.maximum(arc(d), arc([-x for x in d])) - 1) * m[:, :wc]
+        raw = (jnp.maximum(arc(d), arc([-x for x in d])) - 1).astype(
+            jnp.float32
+        ) * m[...]
         zero = jnp.zeros_like(raw)
         hi = jnp.where(raw >= ini_th, raw, zero)
         lo = jnp.where(raw >= min_th, raw, zero)
         # per-tile retry flag: group-of-TILE column max of hi over the strip
-        # body (true columns), via a 5-step intra-group butterfly (lane XOR s
-        # emulated with two rotates + parity select; s < TILE never crosses
-        # a group boundary, and wrapped lanes are never selected).
-        colmax = jnp.max(hi[:, 1 : 1 + wo], axis=0, keepdims=True)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, wo), 1)
-        tmax = colmax
+        # body, via a 5-step intra-group butterfly (lane XOR s emulated with
+        # two native rotates + parity select; s < TILE never crosses a group
+        # boundary, and wrapped lanes are never selected).  f32: native
+        # rotate has a proven f32 path (ops/window_gather.py).
+        tmax = jnp.max(hi, axis=0, keepdims=True)
         for s in (1, 2, 4, 8, 16):
-            a = jnp.roll(tmax, -s, axis=1)
-            b = jnp.roll(tmax, s, axis=1)
+            a = pltpu.roll(tmax, wo - s, axis=1)
+            b = pltpu.roll(tmax, s, axis=1)
             tmax = jnp.maximum(tmax, jnp.where((lane & s) == 0, a, b))
-        use = jnp.concatenate(
-            [jnp.zeros((1, 1), jnp.bool_), tmax > 0,
-             jnp.zeros((1, 1), jnp.bool_)], axis=1
-        )  # (1, wc); the x=-1 / x=wo lanes are mask-zero either way
+        use = tmax > 0.0  # (1, wo), broadcasts over strip rows
         sel = jnp.where(jnp.logical_and(use, i < n), hi, lo)
         sel = jnp.where(i < n, sel, zero)  # step n: strip doesn't exist
 
         # emit strip i-1 (scratch reads gated: uninitialized VMEM may be NaN)
-        prev = jnp.where(i >= 1, sel_prev[:, :wc], zero)
-        above = jnp.where(i >= 2, top_carry[:, :wc], zero[:1])
+        prev = jnp.where(i >= 1, sel_prev[...], zero)
+        above = jnp.where(i >= 2, top_carry[...], zero[:1])
         below = sel[0:1]
-        stack = jnp.concatenate([above, prev, below], axis=0)  # (strip+2, wc)
-        center = stack[1 : 1 + strip, 1 : 1 + wo]
-        keep = center > 0
-        for dy in (0, 1, 2):
-            for dx in (0, 1, 2):
-                if dy == 1 and dx == 1:
+        # ±1-row neighbor planes via sublane rotate + boundary-row select
+        # (Mosaic cannot lower a sublane concat whose pieces carry different
+        # vreg offsets, so no (strip+2, wo) stack is ever built).
+        center = prev
+        rowidx = jax.lax.broadcasted_iota(jnp.int32, (strip, wo), 0)
+        up = jnp.where(rowidx == 0, above, pltpu.roll(center, 1, axis=0))
+        down = jnp.where(
+            rowidx == strip - 1, below, pltpu.roll(center, strip - 1, axis=0)
+        )
+        keep = center > 0.0
+        for band in (up, center, down):
+            for dx in (-1, 0, 1):
+                if band is center and dx == 0:
                     continue
-                keep &= center > stack[dy : dy + strip, dx : dx + wo]
-        out[:] = jnp.where(keep, center, 0).astype(jnp.int32)
+                keep &= center > _shift_cols(band, dx)
+        out[:] = jnp.where(keep, center, 0.0).astype(jnp.int32)
 
-        top_carry[:, :wc] = prev[strip - 1 : strip]
-        sel_prev[:, :wc] = sel
+        top_carry[...] = prev[strip - 1 : strip]
+        sel_prev[...] = sel
 
     score = pl.pallas_call(
         kernel,
@@ -291,7 +317,7 @@ def _detect_fused_pallas(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (strip, wp),
+                (strip, wo),
                 lambda i: (jnp.minimum(i, n - 1), 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -303,8 +329,8 @@ def _detect_fused_pallas(
         ),
         out_shape=jax.ShapeDtypeStruct((h, wo), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((strip, wp), jnp.bfloat16),
-            pltpu.VMEM((1, wp), jnp.bfloat16),
+            pltpu.VMEM((strip, wo), jnp.float32),
+            pltpu.VMEM((1, wo), jnp.float32),
         ],
         interpret=interpret,
     )(strips, M)
