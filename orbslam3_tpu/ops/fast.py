@@ -34,9 +34,14 @@ TILE = 32  # two-threshold retry granularity (work-group tile in the reference)
 # Pallas kernel computes the same score reading the image once per VMEM
 # strip (~6x less HBM traffic).  Same integer arithmetic -> bit-identical.
 _PALLAS_ENV = os.environ.get("ORBSLAM3_TPU_PALLAS_FAST", "1") == "1"
-# fully-fused detection (score+mask+retry+NMS in one kernel); independent
-# kill-switch so the phase-1 raw-score kernel + XLA tail stays available
-_PALLAS_DETECT = os.environ.get("ORBSLAM3_TPU_PALLAS_DETECT", "1") == "1"
+# fully-fused detection (score+mask+retry+NMS in one kernel).  Default OFF:
+# measured on the v5e (r3, tools/bench_stages.py fast), the fused kernel is
+# 0.50 ms vs 0.36 ms for raw-kernel+XLA-tail per camera — at this composite
+# size the score-map round trip it eliminates is ~1 MB (~1.2 us of HBM time)
+# while the in-kernel NMS/retry adds ~30% VPU ops to a compute-bound kernel.
+# Kept (and parity-tested on hardware, bench.py --verify) as the option that
+# wins when HBM pressure rises (larger composites / batched multi-frame).
+_PALLAS_DETECT = os.environ.get("ORBSLAM3_TPU_PALLAS_DETECT", "0") == "1"
 
 
 def _use_pallas() -> bool:

@@ -89,6 +89,7 @@ def test_fused_via_public_multi(monkeypatch):
             F.detect_two_threshold_multi([jnp.asarray(c) for c in crops], 20, 7)]
     fused = F._detect_fused_pallas
     monkeypatch.setattr(F, "_use_pallas", lambda: True)
+    monkeypatch.setattr(F, "_PALLAS_DETECT", True)
     monkeypatch.setattr(
         F, "_detect_fused_pallas",
         lambda comp, mask, a, b: fused(comp, mask, a, b, interpret=True),
