@@ -33,11 +33,14 @@ def cell_size_for(h: int, w: int, k: int) -> int:
     return cell
 
 
-def select_topk_grid(score: jax.Array, k: int) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Pick k spatially-spread maxima from an NMS'd score map.
+def _candidate_pool(
+    score: jax.Array, k: int
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """(key, resp, ys, xs) flat candidate pool for one score map.
 
-    Returns (xy (k, 2) int32 crop coords, response (k,) int32, valid (k,) bool).
-    Deterministic: ties broken by flat index (lax.top_k is stable).
+    key: f32 sort key (winners above residuals above invalid); pool holds
+    >= k positive-able entries.  Shared by the single-map and the batched
+    multi-level selection paths.
     """
     h, w = score.shape
     cell = cell_size_for(h, w, k)
@@ -95,6 +98,55 @@ def select_topk_grid(score: jax.Array, k: int) -> tuple[jax.Array, jax.Array, ja
         [jnp.ones_like(cmax), jnp.zeros_like(rresp), zpad]
     ).astype(jnp.float32)
     key = jnp.where(resp > 0, is_winner * 1e6 + resp.astype(jnp.float32), -1.0)
+    return key, resp, ys, xs
+
+
+def select_topk_grid(score: jax.Array, k: int) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Pick k spatially-spread maxima from an NMS'd score map.
+
+    Returns (xy (k, 2) int32 crop coords, response (k,) int32, valid (k,) bool).
+    Deterministic: ties broken by flat index (lax.top_k is stable).
+    """
+    key, resp, ys, xs = _candidate_pool(score, k)
     top_key, sel = jax.lax.top_k(key, k)
     xy = jnp.stack([xs[sel], ys[sel]], axis=1)
     return xy, resp[sel], top_key > 0
+
+
+def select_topk_grid_multi(
+    scores: list, ks: list
+) -> list:
+    """select_topk_grid for SEVERAL maps with ONE batched top_k.
+
+    The per-map candidate pools (already tiny: grid winners + fine-cell
+    residuals) are padded to a common length and stacked; one
+    (L, P) -> (L, k_max) lax.top_k replaces L separate top_k dispatches.
+    Because top_k sorts descending and every map's pool carries the same
+    key ordering, row l's first ks[l] entries are EXACTLY what the
+    single-map top_k(key_l, ks[l]) returns — bit-identical outputs.
+
+    Returns a list of (xy (k,2) i32, resp (k,) i32, valid (k,) bool).
+    """
+    assert len(scores) == len(ks)
+    if not scores:
+        return []
+    pools = [_candidate_pool(s, k) for s, k in zip(scores, ks)]
+    pmax = max(p[0].shape[0] for p in pools)
+    kmax = max(ks)
+
+    def pad(a, fill):
+        return jnp.pad(a, (0, pmax - a.shape[0]), constant_values=fill)
+
+    key = jnp.stack([pad(p[0], -1.0) for p in pools])     # (L, P)
+    resp = jnp.stack([pad(p[1], 0) for p in pools])
+    ys = jnp.stack([pad(p[2], 0) for p in pools])
+    xs = jnp.stack([pad(p[3], 0) for p in pools])
+    top_key, sel = jax.lax.top_k(key, kmax)               # (L, kmax)
+    r = jnp.take_along_axis(resp, sel, axis=1)
+    y = jnp.take_along_axis(ys, sel, axis=1)
+    x = jnp.take_along_axis(xs, sel, axis=1)
+    out = []
+    for l, k in enumerate(ks):
+        xy = jnp.stack([x[l, :k], y[l, :k]], axis=1)
+        out.append((xy, r[l, :k], top_key[l, :k] > 0))
+    return out

@@ -105,3 +105,25 @@ def test_selection_respects_quota_and_spread(test_image):
         block = slice(int(s), int(s + q))
         assert valid[block].sum() <= q
         assert (octave[block][valid[block]] == lvl).all()
+
+
+def test_select_multi_matches_single(test_image):
+    """Batched multi-level selection == per-level select_topk_grid, bitwise."""
+    import jax.numpy as jnp
+    from orbslam3_tpu.ops.extractor import detection_crops
+    from orbslam3_tpu.ops.fast import detect_two_threshold_multi
+    from orbslam3_tpu.ops.pyramid import build_pyramid
+    from orbslam3_tpu.ops.select import select_topk_grid, select_topk_grid_multi
+
+    params = oc.PyramidParams(n_features=1000)
+    pyr = build_pyramid(jnp.asarray(test_image), params)
+    active, crops = detection_crops(pyr, params)
+    scores = detect_two_threshold_multi(crops, params.ini_th_fast, params.min_th_fast)
+    quotas = params.features_per_level()
+    ks = [int(quotas[l]) for l in active]
+    multi = select_topk_grid_multi(scores, ks)
+    for s, k, (xy_m, r_m, v_m) in zip(scores, ks, multi):
+        xy, r, v = select_topk_grid(s, k)
+        np.testing.assert_array_equal(np.asarray(xy), np.asarray(xy_m))
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(r_m))
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(v_m))
