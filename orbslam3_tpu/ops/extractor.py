@@ -115,6 +115,63 @@ def extract_from_pyramid(
         zip(sel_levels,
             select_topk_grid_multi([scores[l] for l in sel_levels], k_effs))
     )
+    # ---- cross-level batched orientation + BRIEF ----
+    # All levels' keypoints are processed by ONE moments gather/einsum and
+    # ONE descriptor gather/sampler over vertically-stacked composites
+    # (2 Pallas window-gather launches per camera instead of 16, and the
+    # per-keypoint einsums run at full batch).  Bit-exact: level regions are
+    # separated by their own borders (orientation keypoints sit >= 19 px
+    # inside each level; BRIEF's rotated pattern reach 18 < the 19-px
+    # per-level reflect border), so no window crosses a level seam, and all
+    # coordinates are integral (composite row offsets commute with rint).
+    safe_xys, level_meta = [], []
+    for level in sel_levels:
+        xy_c, resp, valid = selections[level]
+        xy_i = xy_c + b  # add detection border back (addBorder_kernel semantics)
+        safe_xy = jnp.where(valid[:, None], xy_i, b + 3)  # keep slices in-bounds
+        safe_xys.append(safe_xy)
+        level_meta.append((level, xy_i, resp, valid))
+    if sel_levels:
+        raw_wmax = max(pyramid[l].shape[1] for l in sel_levels)
+        samp_wmax = raw_wmax + 2 * 19  # BRIEF_PAD borders
+        raw_rows, samp_rows, y0_raw, y0_samp = [], [], [], []
+        for level in sel_levels:
+            img = pyramid[level]
+            h, w = img.shape
+            blurred = gaussian_blur7_u8(img)
+            samp = brief_sampling_image(img, blurred)
+            y0_raw.append(sum(r.shape[0] for r in raw_rows))
+            y0_samp.append(sum(r.shape[0] for r in samp_rows))
+            raw_rows.append(jnp.pad(img, ((0, 0), (0, raw_wmax - w))))
+            samp_rows.append(
+                jnp.pad(samp, ((0, 0), (0, samp_wmax - samp.shape[1])))
+            )
+        comp_raw = jnp.concatenate(raw_rows, axis=0)
+        comp_samp = jnp.concatenate(samp_rows, axis=0)
+        off = jnp.concatenate(
+            [
+                jnp.zeros((sx.shape[0], 2), jnp.int32).at[:, 1].set(y0)
+                for sx, y0 in zip(safe_xys, y0_raw)
+            ]
+        )
+        off_s = jnp.concatenate(
+            [
+                jnp.zeros((sx.shape[0], 2), jnp.int32).at[:, 1].set(y0)
+                for sx, y0 in zip(safe_xys, y0_samp)
+            ]
+        )
+        xy_all = jnp.concatenate(safe_xys)
+        angles_all = ic_angles(comp_raw, xy_all + off)
+        desc_all = brief_descriptors(
+            comp_samp, (xy_all + off_s).astype(jnp.float32), angles_all
+        )
+    starts = np.cumsum([0] + [sx.shape[0] for sx in safe_xys])
+    per_level = {
+        level: (xy_i, resp, valid,
+                angles_all[starts[i] : starts[i + 1]],
+                desc_all[starts[i] : starts[i + 1]])
+        for i, (level, xy_i, resp, valid) in enumerate(level_meta)
+    }
     blocks: list[FrameFeatures] = []
     for level, img in enumerate(pyramid):
         h, w = img.shape
@@ -124,13 +181,7 @@ def extract_from_pyramid(
             blocks.append(_empty_level_block(max(k, 0)))
             continue
         k_eff = min(k, ch * cw)
-        xy_c, resp, valid = selections[level]
-        xy_i = xy_c + b  # add detection border back (addBorder_kernel semantics)
-        safe_xy = jnp.where(valid[:, None], xy_i, b + 3)  # keep slices in-bounds
-        angles = ic_angles(img, safe_xy)
-        blurred = gaussian_blur7_u8(img)
-        samp = brief_sampling_image(img, blurred)
-        desc = brief_descriptors(samp, safe_xy.astype(jnp.float32), angles)
+        xy_i, resp, valid, angles, desc = per_level[level]
         scale = float(scales[level])
         blk = FrameFeatures(
             xy=xy_i.astype(jnp.float32) * (scale if level != 0 else 1.0),
