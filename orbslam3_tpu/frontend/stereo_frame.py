@@ -199,8 +199,7 @@ def extract_and_match_stereo_sequence(
     return jax.lax.scan(body, None, pairs)[1]
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
-def extract_and_match_stereo(
+def _extract_and_match_stereo_impl(
     pair: jax.Array,
     params: PyramidParams,
     mbf: float = DEFAULT_MBF,
@@ -239,3 +238,63 @@ def extract_and_match_stereo(
         mbf / fx,
     )
     return StereoFrameFeatures(feat_l, feat_r, u_right, depth)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def extract_and_match_stereo(
+    pair: jax.Array,
+    params: PyramidParams,
+    mbf: float = DEFAULT_MBF,
+    fx: float = DEFAULT_FX,
+) -> StereoFrameFeatures:
+    """pair: (2, H, W) uint8 — the full stereo perception front-end, fused."""
+    return _extract_and_match_stereo_impl(pair, params, mbf, fx)
+
+
+# columns of the packed host-transfer layout (see pack_for_host)
+_PACK_COLS = 40  # x, y, response, angle, octave, valid, u_right, depth, desc[32]
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def extract_and_match_stereo_packed(
+    pair: jax.Array,
+    params: PyramidParams,
+    mbf: float = DEFAULT_MBF,
+    fx: float = DEFAULT_FX,
+) -> jax.Array:
+    """extract_and_match_stereo + device-side packing into ONE (K, 40) f32.
+
+    Through the axon relay every device->host buffer costs a full ~25-40 ms
+    round trip, so fetching StereoFrameFeatures leaf-by-leaf costs ~10 round
+    trips per frame (measured: ~400 ms/frame end-to-end).  The tracker only
+    consumes the LEFT camera block + u_right/depth; packing those into one
+    f32 matrix (descriptor bytes are <= 255, f32-exact) makes the transfer a
+    single buffer.  Unpack with `unpack_host_features`.
+    """
+    # call the pure implementation, not the (possibly monkeypatched/
+    # memoized) module attribute — this runs under jit
+    out = _extract_and_match_stereo_impl(pair, params, mbf, fx)
+    l = out.left
+    cols = [
+        l.xy[:, 0], l.xy[:, 1],
+        l.response, l.angle,
+        l.octave.astype(jnp.float32), l.valid.astype(jnp.float32),
+        out.u_right, out.depth,
+    ]
+    packed = jnp.stack(cols, axis=1)
+    return jnp.concatenate([packed, l.desc.astype(jnp.float32)], axis=1)
+
+
+def unpack_host_features(arr: np.ndarray) -> dict:
+    """Host-side inverse of extract_and_match_stereo_packed (compacted)."""
+    valid = arr[:, 5] > 0.5
+    a = arr[valid]
+    return dict(
+        kps=a[:, 0:2],
+        response=a[:, 2],
+        angle=a[:, 3],
+        octave=a[:, 4].astype(np.int32),
+        u_right=a[:, 6],
+        depth=a[:, 7],
+        desc=a[:, 8:40].astype(np.uint8),
+    )

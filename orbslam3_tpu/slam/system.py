@@ -164,25 +164,18 @@ class System:
             )
 
     def _extract_stereo(self, img_l: np.ndarray, img_r: np.ndarray):
-        """Device front-end -> compacted numpy feature arrays."""
+        """Device front-end -> compacted numpy feature arrays.
+
+        Uses the packed single-buffer transfer: through the axon relay each
+        device->host buffer costs a full round trip, so the per-leaf fetch
+        of StereoFrameFeatures was ~10 round trips/frame."""
         from orbslam3_tpu.frontend import stereo_frame as sf
-        import jax
 
         pair = np.stack([img_l, img_r])
-        out = sf.extract_and_match_stereo(
+        out = sf.extract_and_match_stereo_packed(
             pair, self.orb_params, self.mbf, float(self.camera.fx)
         )
-        out = jax.tree.map(np.asarray, out)
-        valid = out.left.valid
-        return dict(
-            kps=out.left.xy[valid],
-            octave=out.left.octave[valid],
-            angle=out.left.angle[valid],
-            response=out.left.response[valid],
-            desc=out.left.desc[valid],
-            u_right=out.u_right[valid],
-            depth=out.depth[valid],
-        )
+        return sf.unpack_host_features(np.asarray(out))
 
     def _extract_stereo_fisheye(self, img_l: np.ndarray, img_r: np.ndarray):
         """Fisheye stereo front-end (Frame fisheye ctor role,
@@ -268,7 +261,7 @@ class System:
 
         img_l, img_r = self._preprocess_stereo(img_l, img_r)
         pair = np.stack([img_l, img_r])
-        out = sf.extract_and_match_stereo(
+        out = sf.extract_and_match_stereo_packed(
             pair, self.orb_params, self.mbf, float(self.camera.fx)
         )
         return (out, img_l.shape)
@@ -279,20 +272,10 @@ class System:
         """Consume a prefetch_stereo handle (synchronizes on the device
         results, which by now overlapped with the previous frame's host
         tracking) and run the tracker.  Equivalent to track_stereo."""
-        import jax
+        from orbslam3_tpu.frontend import stereo_frame as sf
 
         out, shape = handle
-        out = jax.tree.map(np.asarray, out)
-        valid = out.left.valid
-        feats = dict(
-            kps=out.left.xy[valid],
-            octave=out.left.octave[valid],
-            angle=out.left.angle[valid],
-            response=out.left.response[valid],
-            desc=out.left.desc[valid],
-            u_right=out.u_right[valid],
-            depth=out.depth[valid],
-        )
+        feats = sf.unpack_host_features(np.asarray(out))
         return self.track_stereo_features(
             feats, timestamp, (0, 0, shape[1], shape[0]), imu=imu
         )

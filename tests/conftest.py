@@ -91,6 +91,7 @@ def _extraction_memo():
         return out
 
     orig_stereo = sf_mod.extract_and_match_stereo
+    orig_packed = sf_mod.extract_and_match_stereo_packed
     orig_mono = ex_mod.extract_features_jit
 
     def stereo_memo(pair, params, mbf=sf_mod.DEFAULT_MBF, fx=sf_mod.DEFAULT_FX):
@@ -98,16 +99,23 @@ def _extraction_memo():
         return _memo("stereo", lambda: orig_stereo(pair, params, mbf, fx),
                      [pair, params, float(mbf), float(fx)])
 
+    def packed_memo(pair, params, mbf=sf_mod.DEFAULT_MBF, fx=sf_mod.DEFAULT_FX):
+        pair = np.asarray(pair)
+        return _memo("packed", lambda: orig_packed(pair, params, mbf, fx),
+                     [pair, params, float(mbf), float(fx)])
+
     def mono_memo(img, params):
         img = np.asarray(img)
         return _memo("mono", lambda: orig_mono(img, params), [img, params])
 
     sf_mod.extract_and_match_stereo = stereo_memo
+    sf_mod.extract_and_match_stereo_packed = packed_memo
     ex_mod.extract_features_jit = mono_memo
     try:
         yield
     finally:
         sf_mod.extract_and_match_stereo = orig_stereo
+        sf_mod.extract_and_match_stereo_packed = orig_packed
         ex_mod.extract_features_jit = orig_mono
 
 
