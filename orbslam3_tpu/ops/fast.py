@@ -51,6 +51,45 @@ def _use_pallas() -> bool:
         return False
 
 
+def _win9(p: list, op) -> list:
+    """Circular window-9 `op`-reduction over a 16-element plane sequence.
+
+    van Herk / Gil-Werman: extend to 24, block size 9, prefix + suffix
+    scans, window o = op(S[o], P[o+8]) — 58 ops vs the log-step form's 64,
+    and the sequential scans keep far fewer planes live (the log-step chain
+    holds 16 d-planes + 16 partials across every level, ~2x the v5e vreg
+    file at production strip sizes; measured 1.5x faster end-to-end).
+    Result is identical for any association order of min/max.
+    """
+    e = [p[j % 16] for j in range(24)]
+    P: list = [None] * 24
+    for j in range(24):
+        P[j] = e[j] if j % 9 == 0 else op(P[j - 1], e[j])
+    S: list = [None] * 24
+    for j in reversed(range(24)):
+        S[j] = e[j] if (j % 9 == 8 or j == 23) else op(S[j + 1], e[j])
+    return [op(S[o], P[o + 8]) for o in range(16)]
+
+
+def _score16(d: list) -> jax.Array:
+    """FAST score + 1 from the 16 ring-difference planes.
+
+    bright = max_o min(d[o..o+8]); dark = max_o min(-d[o..o+8]) folded as
+    -(min_o max(d[o..o+8])) — one negation of the reduced plane instead of
+    16 plane negations.
+    """
+    wmin = _win9(d, jnp.minimum)
+    bright = functools.reduce(jnp.maximum, wmin)
+    wmax = _win9(d, jnp.maximum)
+    ndark = functools.reduce(jnp.minimum, wmax)
+    return jnp.maximum(bright, -ndark)
+
+
+# column-chunk width for the in-kernel evaluation: half-width chunks keep
+# the live plane set near the vreg file (measured best of {128..768} on v5e)
+_CHUNK_COLS = 384
+
+
 def _raw_score_pallas(img: jax.Array, interpret: bool = False) -> jax.Array:
     """FAST raw score via a row-strip Pallas kernel.
 
@@ -59,14 +98,17 @@ def _raw_score_pallas(img: jax.Array, interpret: bool = False) -> jax.Array:
     carries its own halo (one HBM read of ~1.2x the image, vs the earlier
     7 row-shifted full-image views at 7x); horizontal offsets are static
     column slices inside VMEM.  bf16 compute (Mosaic on v5e cannot legalize
-    packed int16 min/max; i32 chains measured 1.7x slower); bit-identical
+    packed int16 min/max; i32 chains measured 1.7x slower); the score is
+    the van Herk windowed min/max form (_score16) evaluated in 384-lane
+    column chunks — 0.21 ms vs 0.40 for the log-step full-strip form on
+    the 2112x736 composite (tools/bench_fast_variants2.py).  Bit-identical
     to the XLA/roll formulation and the CPU oracle.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     h, w = img.shape
-    strip = 32  # bf16 planes; 16-plane live set must fit VMEM
+    strip = 48
     wo = -(-w // 128) * 128
     wp = -(-(wo + 6) // 128) * 128
     hp = -(-h // strip) * strip
@@ -83,28 +125,20 @@ def _raw_score_pallas(img: jax.Array, interpret: bool = False) -> jax.Array:
     )  # (n, strip + 6, wp)
 
     def kernel(v, out):
-        c = v[0, 3 : 3 + strip, 3 : 3 + wo]
         # hoist the 7 lane-unaligned column offsets out of the 16 ring
         # slices: each distinct dx is materialised once as a full-height
         # view (7 lane rotates instead of 16 rotate+shift pairs) and the
         # ring planes become cheap sublane slices of those views — measured
         # 17% faster on v5e, bit-identical
         vx = {dx: v[0, :, 3 + dx : 3 + dx + wo] for dx in range(-3, 4)}
-        d = [vx[dx][3 + dy : 3 + dy + strip] - c for (dx, dy) in FAST_RING]
-
-        def arc(p):
-            m2 = [jnp.minimum(p[o], p[(o + 1) % 16]) for o in range(16)]
-            m4 = [jnp.minimum(m2[o], m2[(o + 2) % 16]) for o in range(16)]
-            m8 = [jnp.minimum(m4[o], m4[(o + 4) % 16]) for o in range(16)]
-            m9 = [jnp.minimum(m8[o], p[(o + 8) % 16]) for o in range(16)]
-            best = m9[0]
-            for o in range(1, 16):
-                best = jnp.maximum(best, m9[o])
-            return best
-
-        out[:] = jnp.maximum(arc(d), arc([-x for x in d])).astype(
-            jnp.int32
-        ) - 1
+        for c0 in range(0, wo, _CHUNK_COLS):
+            cols = min(_CHUNK_COLS, wo - c0)
+            c = vx[0][3 : 3 + strip, c0 : c0 + cols]
+            d = [
+                vx[dx][3 + dy : 3 + dy + strip, c0 : c0 + cols] - c
+                for (dx, dy) in FAST_RING
+            ]
+            out[:, c0 : c0 + cols] = _score16(d).astype(jnp.int32) - 1
 
     score = pl.pallas_call(
         kernel,
@@ -260,20 +294,7 @@ def _detect_fused_pallas(
             v[0, 3 + dy : 3 + dy + strip, 3 + dx : 3 + dx + wo] - c
             for (dx, dy) in FAST_RING
         ]
-
-        def arc(p):
-            m2 = [jnp.minimum(p[o], p[(o + 1) % 16]) for o in range(16)]
-            m4 = [jnp.minimum(m2[o], m2[(o + 2) % 16]) for o in range(16)]
-            m8 = [jnp.minimum(m4[o], m4[(o + 4) % 16]) for o in range(16)]
-            m9 = [jnp.minimum(m8[o], p[(o + 8) % 16]) for o in range(16)]
-            best = m9[0]
-            for o in range(1, 16):
-                best = jnp.maximum(best, m9[o])
-            return best
-
-        raw = (jnp.maximum(arc(d), arc([-x for x in d])) - 1).astype(
-            jnp.float32
-        ) * m[...]
+        raw = (_score16(d) - 1).astype(jnp.float32) * m[...]
         zero = jnp.zeros_like(raw)
         hi = jnp.where(raw >= ini_th, raw, zero)
         lo = jnp.where(raw >= min_th, raw, zero)
