@@ -201,6 +201,20 @@ def pallas_parity_checks(jax) -> dict:
     want = np.asarray(extract_row_strips(img, row0, col0, 37, 37))
     results["window_gather_exact"] = bool(np.array_equal(got, want))
 
+    # fused gather+sample (rBRIEF sampler): pallas vs direct indexing
+    ridx = rng.integers(0, 37, (k, 512)).astype(np.int32)
+    cidx = rng.integers(0, 37, (k, 512)).astype(np.int32)
+    got_s = np.asarray(
+        wg._sample_windows_pallas(
+            img, row0, col0, jnp.asarray(ridx), jnp.asarray(cidx), 37, 37,
+            interpret=not on_tpu,
+        )
+    )
+    r0 = np.asarray(row0)[:, None]
+    c0 = np.asarray(col0)[:, None]
+    want_s = np.asarray(img)[r0 + ridx, c0 + cidx].astype(np.float32)
+    results["sample_windows_exact"] = bool(np.array_equal(got_s, want_s))
+
     # FAST raw score: pallas bf16 strips vs XLA roll formulation
     img_u8 = jnp.asarray(make_frame(321))
     got_f = np.asarray(fast_mod._raw_score_pallas(img_u8, interpret=not on_tpu))
@@ -243,6 +257,7 @@ def pallas_parity_checks(jax) -> dict:
 
     results["ok"] = (
         results["window_gather_exact"]
+        and results["sample_windows_exact"]
         and results["fast_score_exact"]
         and results["fused_detect_exact"]
     )

@@ -147,11 +147,12 @@ def extract_row_strips(
 def sample_patches(patches: jax.Array, r: jax.Array, c: jax.Array) -> jax.Array:
     """samples[k, s] = patches[k, r[k, s], c[k, s]] via separable one-hots.
 
-    patches: (K, P, P) f32 with small-int values; r, c: (K, S) int32 in [0, P).
+    patches: (K, Pr, Pc) f32 with small-int values; r, c: (K, S) int32 in
+    [0, Pr) / [0, Pc).
     """
-    p = patches.shape[-1]
-    row_oh = onehot_bf16(r, p)  # (K, S, P)
-    col_oh = onehot_bf16(c, p)
+    pr, pc = patches.shape[1], patches.shape[2]
+    row_oh = onehot_bf16(r, pr)  # (K, S, Pr)
+    col_oh = onehot_bf16(c, pc)  # (K, S, Pc)
     strips = jnp.einsum(
         "ksp,kpq->ksq",
         row_oh,

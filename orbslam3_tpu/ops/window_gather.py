@@ -34,6 +34,13 @@ import jax
 import jax.numpy as jnp
 
 _PALLAS_ENV = os.environ.get("ORBSLAM3_TPU_PALLAS_GATHER", "1") == "1"
+# fused gather+sample kernel (sample_windows).  Default OFF: measured on v5e
+# (r3), the per-keypoint (512,48)x(48,128) dots pay ~1.5 us each of MXU
+# dispatch/relayout overhead — K=1000 of them cost ~1.1 ms/camera MORE than
+# the XLA one-hot einsum path, whose ~150 MB of one-hot HBM traffic runs at
+# full bandwidth (~0.18 ms, its roofline).  Kept hardware-parity-checked
+# (bench.py --verify) as the option that wins if K shrinks or S grows.
+_PALLAS_SAMPLE = os.environ.get("ORBSLAM3_TPU_PALLAS_SAMPLE", "0") == "1"
 
 # keypoints copied per grid step; sized so the out block (KB, nr, nc) keeps
 # Mosaic's relayout work per step small while amortising step overhead
@@ -110,6 +117,123 @@ def _gather_windows_pallas(
         interpret=interpret,
     )(rc, imgp)
     return out[:k]
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6, 7))
+def _sample_windows_pallas(
+    img2d: jax.Array,
+    row0: jax.Array,
+    col0: jax.Array,
+    ridx: jax.Array,
+    cidx: jax.Array,
+    nr: int,
+    nc: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """samples[k, s] = img2d[row0[k] + ridx[k, s], col0[k] + cidx[k, s]].
+
+    Fuses the window gather AND the per-sample one-hot selection into one
+    kernel: each keypoint's window is 2-D-dynamic-sliced out of the
+    VMEM-resident image (as _gather_windows_pallas), then the S samples are
+    pulled with an in-kernel one-hot matmul (rows, MXU) + masked lane
+    reduce (cols, VPU) — the (K, S, nr) / (K, S, nc) one-hot and strip
+    intermediates that dominated the XLA formulation's HBM traffic
+    (~115 MB/frame for rBRIEF at EuRoC scale) never leave VMEM; HBM sees
+    one image read + the (K, S) result.  Exact: every selected value is a
+    raw pixel (<= 255, bf16-exact operands, f32 single-contributor sums).
+
+    Constraints: nr + 8 <= 48-row aligned window, nc <= 128; S a multiple
+    of 128.  ridx/cidx must be in [0, nr) / [0, nc); row0/col0 are clamped
+    in-bounds like gather_windows.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    h, w = img2d.shape
+    k, s = ridx.shape
+    assert nc <= 128 and s % 128 == 0
+    kb = _KB
+    kp = -(-k // kb) * kb
+
+    rc = jnp.stack(
+        [
+            jnp.clip(row0.astype(jnp.int32), 0, h - nr),
+            jnp.clip(col0.astype(jnp.int32), 0, w - nc),
+        ],
+        axis=1,
+    )
+    rc = jnp.pad(rc, ((0, kp - k), (0, 0)))
+    ridx = jnp.pad(ridx.astype(jnp.int32), ((0, kp - k), (0, 0)))
+    cidx = jnp.pad(cidx.astype(jnp.int32), ((0, kp - k), (0, 0)))
+    nrp = -(-(nr + 8) // 8) * 8
+    ncp = -(-(nc + 128) // 128) * 128
+    imgp = jnp.pad(img2d.astype(jnp.float32), ((0, nrp), (0, ncp)))
+
+    def kernel(rc_ref, ri_ref, ci_ref, img_ref, out_ref):
+        i = pl.program_id(0)
+        riota = jax.lax.broadcasted_iota(jnp.int32, (s, nrp), 1)
+        ciota = jax.lax.broadcasted_iota(jnp.int32, (s, 128), 1)
+        for j in range(kb):
+            r0 = rc_ref[i * kb + j, 0]
+            c0 = rc_ref[i * kb + j, 1]
+            rb = pl.multiple_of((r0 // 8) * 8, 8)
+            cb = pl.multiple_of((c0 // 128) * 128, 128)
+            win = img_ref[pl.ds(rb, nrp), pl.ds(cb, ncp)]
+            win = pltpu.roll(win, (nrp - (r0 - rb)) % nrp, axis=0)
+            win = pltpu.roll(win, (ncp - (c0 - cb)) % ncp, axis=1)
+            win = win[:, :128]  # cols [0, nc) now live in the first lanes
+            row_oh = (ri_ref[j][:, None] == riota).astype(jnp.bfloat16)
+            strips = jax.lax.dot_general(
+                row_oh,
+                win.astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (s, 128) — strip row per sample
+            col_oh = (ci_ref[j][:, None] == ciota).astype(jnp.float32)
+            out_ref[j] = jnp.sum(strips * col_oh, axis=1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(kp // kb,),
+        in_specs=[
+            pl.BlockSpec((kb, s), lambda i, rc: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kb, s), lambda i, rc: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (kb, s), lambda i, rc: (i, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((kp, s), jnp.float32),
+        interpret=interpret,
+    )(rc, ridx, cidx, imgp)
+    return out[:k]
+
+
+def sample_windows(
+    img2d: jax.Array,
+    row0: jax.Array,
+    col0: jax.Array,
+    ridx: jax.Array,
+    cidx: jax.Array,
+    nr: int,
+    nc: int,
+) -> jax.Array:
+    """(K, S) samples; sample [k, s] = img2d[row0[k]+ridx[k,s], col0[k]+cidx[k,s]].
+
+    Fused gather+sample on TPU when ORBSLAM3_TPU_PALLAS_SAMPLE=1; the
+    gather_windows + sample_patches composition (the semantic spec)
+    otherwise — bit-identical.
+    """
+    if _PALLAS_SAMPLE and _use_pallas():
+        return _sample_windows_pallas(img2d, row0, col0, ridx, cidx, nr, nc)
+    from orbslam3_tpu.ops.patches import sample_patches
+
+    patches = gather_windows(img2d, row0, col0, nr, nc)
+    return sample_patches(patches, ridx, cidx)
 
 
 def gather_windows(

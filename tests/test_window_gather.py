@@ -44,3 +44,24 @@ def test_pallas_gather_clamps_out_of_bounds():
     c = np.clip(col0, 0, 160 - 21)
     for i in range(3):
         assert (out[i] == img[r[i] : r[i] + 11, c[i] : c[i] + 21]).all()
+
+
+def test_pallas_sample_windows_bit_exact():
+    """Fused gather+sample kernel == direct numpy indexing."""
+    from orbslam3_tpu.ops.window_gather import _sample_windows_pallas
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (213, 331), np.uint8)
+    for k, nr, nc, s in ((40, 37, 37, 512), (9, 11, 21, 128), (1, 37, 37, 256)):
+        row0 = rng.integers(0, 213 - nr + 1, k).astype(np.int32)
+        col0 = rng.integers(0, 331 - nc + 1, k).astype(np.int32)
+        ridx = rng.integers(0, nr, (k, s)).astype(np.int32)
+        cidx = rng.integers(0, nc, (k, s)).astype(np.int32)
+        ref = img[row0[:, None] + ridx, col0[:, None] + cidx].astype(np.float32)
+        out = np.asarray(
+            _sample_windows_pallas(
+                jnp.asarray(img), jnp.asarray(row0), jnp.asarray(col0),
+                jnp.asarray(ridx), jnp.asarray(cidx), nr, nc, True,
+            )
+        )
+        assert (out == ref).all(), (nr, nc, s, np.argwhere(out != ref)[:3])
