@@ -68,3 +68,26 @@ def test_stereo_disparity_recovers_shift(small_image):
     # most matched keypoints should see the constant synthetic disparity
     frac = np.mean(np.abs(disp - shift) < 1.0)
     assert frac > 0.8, f"only {frac:.0%} of disparities near {shift}"
+
+
+def test_packed_transfer_matches_unpacked(small_image):
+    """extract_and_match_stereo_packed + unpack == the pytree path, exactly."""
+    from orbslam3_tpu.frontend.stereo_frame import (
+        extract_and_match_stereo_packed,
+        unpack_host_features,
+    )
+
+    params = PyramidParams(n_features=120)
+    pair = shifted_pair(small_image)
+    ref = jax.tree.map(np.asarray, extract_and_match_stereo(pair, params, MBF, FX))
+    got = unpack_host_features(
+        np.asarray(extract_and_match_stereo_packed(pair, params, MBF, FX))
+    )
+    valid = ref.left.valid
+    assert (got["kps"] == ref.left.xy[valid]).all()
+    assert (got["octave"] == ref.left.octave[valid]).all()
+    assert (got["angle"] == ref.left.angle[valid]).all()
+    assert (got["response"] == ref.left.response[valid]).all()
+    assert (got["desc"] == ref.left.desc[valid]).all()
+    assert (got["u_right"] == ref.u_right[valid]).all()
+    assert (got["depth"] == ref.depth[valid]).all()
