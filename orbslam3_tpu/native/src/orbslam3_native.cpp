@@ -541,23 +541,54 @@ inline double chi2_row(const double res[3], double is2, bool stereo) {
   return e2 * is2;
 }
 
+// Per-call SoA scratch for the vectorized passes below (each OS thread —
+// tracker, mapper, GBA — gets its own).
+struct PoseScratch {
+  std::vector<double> contrib;  // (n,)
+  std::vector<double> J;        // (18, n): [row*6+col][i]
+  std::vector<double> res;      // (3, n)
+  std::vector<double> w;        // (n,)
+};
+thread_local PoseScratch g_pose_scratch;
+
+// Robust cost, restructured for auto-vectorization: a branchless
+// elementwise pass into `contrib` (inactive lanes masked to 0.0; z forced
+// to 1.0 there so every lane stays finite), then an in-order scalar sum —
+// bit-identical to the scalar loop (x + 0.0 == x; per-point arithmetic
+// unchanged).
 double robust_cost(const PoseObs& o, const double R[9], const double t[3],
                    const uint8_t* inlier, double delta_m, double delta_s,
                    bool use_huber) {
-  double total = 0;
-  for (int i = 0; i < o.n; ++i) {
-    if (!inlier[i]) continue;
-    double res[3]; bool st;
-    residual_row(o, R, t, i, res, &st);
-    const double c2 = chi2_row(res, o.is2[i], st);
+  const int n = o.n;
+  std::vector<double>& contrib = g_pose_scratch.contrib;
+  if ((int)contrib.size() < n) contrib.resize(n);
+  const double* pw = o.pw; const double* uv = o.uv;
+  const double* ur = o.ur; const double* is2 = o.is2;
+  const double fx = o.fx, fy = o.fy, cx = o.cx, cy = o.cy, mbf = o.mbf;
+  for (int i = 0; i < n; ++i) {
+    const double act = inlier[i] ? 1.0 : 0.0;
+    const double* p = pw + 3 * i;
+    const double x = R[0]*p[0] + R[1]*p[1] + R[2]*p[2] + t[0];
+    const double y = R[3]*p[0] + R[4]*p[1] + R[5]*p[2] + t[1];
+    double z = R[6]*p[0] + R[7]*p[1] + R[8]*p[2] + t[2];
+    z = inlier[i] ? z : 1.0;
+    const double u = fx * x / z + cx;
+    const double v = fy * y / z + cy;
+    const double r0 = uv[2*i] - u;
+    const double r1 = uv[2*i+1] - v;
+    const bool st = ur[i] >= 0;
+    const double r2 = st ? (ur[i] - (u - mbf / std::max(z, 1e-9))) : 0.0;
+    const double c2 = (r0*r0 + r1*r1 + r2*r2) * is2[i];
+    double c = c2;
     if (use_huber) {
       const double delta = st ? delta_s : delta_m;
       const double e = std::sqrt(std::max(c2, 0.0));
-      total += (e <= delta) ? c2 : (2 * delta * e - delta * delta);
-    } else {
-      total += c2;
+      c = (e <= delta) ? c2 : (2 * delta * e - delta * delta);
     }
+    contrib[i] = act * c;
   }
+  double total = 0;
+  for (int i = 0; i < n; ++i) total += contrib[i];
   return total;
 }
 
@@ -589,72 +620,104 @@ int pose_optimize(const double* pw, const double* uv, const double* ur,
     std::copy(t, t + 3, tr);
     double cost_prev = robust_cost(o, Rr, tr, inlier, delta_m, delta_s, use_huber);
     for (int it = 0; it < n_iters; ++it) {
-      // assemble normal equations with IRLS weights
-      double H[36] = {0}, b[6] = {0};
+      // assemble normal equations with IRLS weights — phase 1: branchless
+      // elementwise pass into SoA scratch (auto-vectorizes; inactive lanes
+      // get w=0 and z forced to 1 so every lane stays finite), phase 2:
+      // SIMD reductions with 8-lane partial accumulators.
+      PoseScratch& S = g_pose_scratch;
+      if ((int)S.w.size() < n) {
+        S.w.resize(n);
+        S.res.resize(3 * (size_t)n);
+        S.J.resize(18 * (size_t)n);
+      }
+      double* wv = S.w.data();
+      double* rs = S.res.data();
+      double* JJ = S.J.data();
       for (int i = 0; i < n; ++i) {
-        if (!inlier[i]) continue;
+        const bool act = inlier[i] != 0;
         const double* p = pw + 3 * i;
         const double x = Rr[0]*p[0] + Rr[1]*p[1] + Rr[2]*p[2] + tr[0];
         const double y = Rr[3]*p[0] + Rr[4]*p[1] + Rr[5]*p[2] + tr[1];
-        const double z = Rr[6]*p[0] + Rr[7]*p[1] + Rr[8]*p[2] + tr[2];
+        double z = Rr[6]*p[0] + Rr[7]*p[1] + Rr[8]*p[2] + tr[2];
+        z = act ? z : 1.0;
         const double zi = 1.0 / z;
         const double u = fx * x * zi + cx;
         const double v = fy * y * zi + cy;
-        double res[3];
-        res[0] = uv[2*i] - u;
-        res[1] = uv[2*i+1] - v;
+        const double r0 = uv[2*i] - u;
+        const double r1 = uv[2*i+1] - v;
         const bool st = ur[i] >= 0;
-        res[2] = st ? (ur[i] - (u - mbf / std::max(z, 1e-9))) : 0.0;
-        const double c2 = chi2_row(res, is2[i], st);
+        const double r2 = st ? (ur[i] - (u - mbf / std::max(z, 1e-9))) : 0.0;
+        const double c2 = (r0*r0 + r1*r1 + r2*r2) * is2[i];
         double w = is2[i];
         if (use_huber) {
           const double delta = st ? delta_s : delta_m;
           const double e = std::sqrt(std::max(c2, 1e-18));
-          if (e > delta) w *= delta / e;
+          w *= (e > delta) ? delta / e : 1.0;
         }
-        // Jacobian rows: d res / d xi = -(jproj @ [I | -hat(pc)])
-        // jproj (2x3) for pinhole
+        wv[i] = act ? w : 0.0;
+        rs[0*(size_t)n + i] = r0;
+        rs[1*(size_t)n + i] = r1;
+        rs[2*(size_t)n + i] = r2;
+        // Jacobian rows (negated: res = obs - pred): row r, col c at
+        // JJ[(r*6+c)*n + i]
         const double zi2 = zi * zi;
-        const double jp[6] = {fx * zi, 0.0, -fx * x * zi2,
-                              0.0, fy * zi, -fy * y * zi2};
-        // dpc/dxi = [I | -hat(pc)]  -> columns: t(3), phi(3)
-        // hat(pc) = [[0,-z,y],[z,0,-x],[-y,x,0]]
-        double J[18];  // (3 rows, 6 cols), including stereo row
-        for (int rrow = 0; rrow < 2; ++rrow) {
-          const double* g = jp + 3 * rrow;
-          J[6*rrow + 0] = g[0];
-          J[6*rrow + 1] = g[1];
-          J[6*rrow + 2] = g[2];
-          // -hat(pc) columns: phi part = g . d(pc)/d(phi_k)
-          J[6*rrow + 3] = g[1] * (-z) + g[2] * (y);
-          J[6*rrow + 4] = g[0] * (z) + g[2] * (-x);
-          J[6*rrow + 5] = g[0] * (-y) + g[1] * (x);
+        const double g00 = fx * zi, g02 = -fx * x * zi2;
+        const double g11 = fy * zi, g12 = -fy * y * zi2;
+        JJ[0*(size_t)n + i] = -g00;
+        JJ[1*(size_t)n + i] = 0.0;
+        JJ[2*(size_t)n + i] = -g02;
+        JJ[3*(size_t)n + i] = -(g02 * y);
+        JJ[4*(size_t)n + i] = -(g00 * z + g02 * (-x));
+        JJ[5*(size_t)n + i] = -(g00 * (-y));
+        JJ[6*(size_t)n + i] = 0.0;
+        JJ[7*(size_t)n + i] = -g11;
+        JJ[8*(size_t)n + i] = -g12;
+        JJ[9*(size_t)n + i] = -(g11 * (-z) + g12 * y);
+        JJ[10*(size_t)n + i] = -(g12 * (-x));
+        JJ[11*(size_t)n + i] = -(g11 * x);
+        const double zc = std::max(z, 1e-9);
+        const double mz2 = st ? mbf / (zc * zc) : 0.0;
+        const double stm = st ? 1.0 : 0.0;
+        JJ[12*(size_t)n + i] = stm * JJ[0*(size_t)n + i];
+        JJ[13*(size_t)n + i] = 0.0;
+        JJ[14*(size_t)n + i] = stm * (JJ[2*(size_t)n + i] - mz2);
+        JJ[15*(size_t)n + i] = stm * (JJ[3*(size_t)n + i] - mz2 * y);
+        JJ[16*(size_t)n + i] = stm * (JJ[4*(size_t)n + i] + mz2 * x);
+        JJ[17*(size_t)n + i] = stm * JJ[5*(size_t)n + i];
+      }
+      double H[36] = {0}, b[6] = {0};
+      for (int a_ = 0; a_ < 6; ++a_) {
+        const double* j0a = JJ + (0*6 + a_) * (size_t)n;
+        const double* j1a = JJ + (1*6 + a_) * (size_t)n;
+        const double* j2a = JJ + (2*6 + a_) * (size_t)n;
+        for (int b_ = a_; b_ < 6; ++b_) {
+          const double* j0b = JJ + (0*6 + b_) * (size_t)n;
+          const double* j1b = JJ + (1*6 + b_) * (size_t)n;
+          const double* j2b = JJ + (2*6 + b_) * (size_t)n;
+          double acc[8] = {0};
+          int i = 0;
+          for (; i + 8 <= n; i += 8)
+            for (int l = 0; l < 8; ++l)
+              acc[l] += wv[i+l] * (j0a[i+l]*j0b[i+l] + j1a[i+l]*j1b[i+l] +
+                                   j2a[i+l]*j2b[i+l]);
+          double s = ((acc[0]+acc[1])+(acc[2]+acc[3])) +
+                     ((acc[4]+acc[5])+(acc[6]+acc[7]));
+          for (; i < n; ++i)
+            s += wv[i] * (j0a[i]*j0b[i] + j1a[i]*j1b[i] + j2a[i]*j2b[i]);
+          H[6*a_ + b_] = s;
         }
-        if (st) {
-          // z clamped like the NumPy spec's mbf / max(z,1e-9)^2
-          const double zc = std::max(z, 1e-9);
-          const double mz2 = mbf / (zc * zc);
-          // j_ur = j_u + mbf/z^2 * dz_dxi  where dz_dxi = row 2 of [I|-hat]
-          const double dz[6] = {0, 0, 1, y, -x, 0};
-          for (int c_ = 0; c_ < 6; ++c_)
-            J[12 + c_] = J[c_] + mz2 * dz[c_];
-        } else {
-          for (int c_ = 0; c_ < 6; ++c_) J[12 + c_] = 0.0;
-        }
-        // negate (res = obs - pred convention)
-        const int nrows = 3;
-        for (int rrow = 0; rrow < nrows; ++rrow)
-          for (int c_ = 0; c_ < 6; ++c_) J[6*rrow + c_] = -J[6*rrow + c_];
-        for (int rrow = 0; rrow < nrows; ++rrow) {
-          const double* jr = J + 6 * rrow;
-          const double wr = w * res[rrow];
-          for (int a_ = 0; a_ < 6; ++a_) {
-            b[a_] += w * jr[a_] * res[rrow];
-            for (int b_ = a_; b_ < 6; ++b_)
-              H[6*a_ + b_] += w * jr[a_] * jr[b_];
-          }
-          (void)wr;
-        }
+        double acc[8] = {0};
+        int i = 0;
+        for (; i + 8 <= n; i += 8)
+          for (int l = 0; l < 8; ++l)
+            acc[l] += wv[i+l] * (j0a[i+l]*rs[i+l] + j1a[i+l]*rs[(size_t)n+i+l] +
+                                 j2a[i+l]*rs[2*(size_t)n+i+l]);
+        double s = ((acc[0]+acc[1])+(acc[2]+acc[3])) +
+                   ((acc[4]+acc[5])+(acc[6]+acc[7]));
+        for (; i < n; ++i)
+          s += wv[i] * (j0a[i]*rs[i] + j1a[i]*rs[(size_t)n+i] +
+                        j2a[i]*rs[2*(size_t)n+i]);
+        b[a_] = s;
       }
       for (int a_ = 0; a_ < 6; ++a_)
         for (int b_ = 0; b_ < a_; ++b_) H[6*a_ + b_] = H[6*b_ + a_];
