@@ -139,9 +139,17 @@ def stereo_match(
     off = jnp.asarray(row_off)[oct_l]
     p_l = gather_windows(comp_l, off + cl_svl, cl_sul, wl, wl)  # (K,11,11)
     p_r = gather_windows(comp_r, off + cl_svl, cl_sur, wl, ww)  # (K,11,21)
+    # SAD in (col, row, K) layout: the (K, 11, 21) form pads its 21-lane
+    # minor dim to 128 (6x dead lanes) and the 11 shifted slices re-read
+    # it; with the slide axis outermost the slices are free views and K
+    # rides the lanes.  Exact: |u8 diffs| sum to integers < 2^24, so f32
+    # reassociation cannot change a bit.
+    pl_t = jnp.transpose(p_l, (2, 1, 0))  # (11, 11, K)
+    pr_t = jnp.transpose(p_r, (2, 1, 0))  # (21, 11, K)
     dists = jnp.stack(
         [
-            jnp.abs(p_l - p_r[:, :, j : j + wl]).sum(axis=(1, 2))
+            jnp.abs(pl_t - jax.lax.slice_in_dim(pr_t, j, j + wl, axis=0))
+            .sum(axis=(0, 1))
             for j in range(2 * SAD_L + 1)
         ],
         axis=1,
