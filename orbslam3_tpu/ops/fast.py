@@ -406,12 +406,30 @@ def detect_two_threshold_multi(
             shelves.append([y_total, ph, pw])
             place.append((y_total, 0))
             y_total += ph
-    comp = jnp.zeros((y_total, w_comp), crops[0].dtype)
+    # build the composite with pure pad+concat (one fused copy) instead of
+    # a chain of dynamic-update-slices (measured 0.05 ms/camera of pure
+    # data movement); layout is bit-identical to the scatter form
     meta = []
+    by_shelf: dict[int, list] = {}
     for crop, (y0, x0) in zip(crops, place):
         ch, cw = crop.shape
-        comp = comp.at[y0 : y0 + ch, x0 : x0 + cw].set(crop)
         meta.append((y0, x0, ch, cw))
+        by_shelf.setdefault(y0, []).append((x0, crop))
+    shelf_rows = []
+    for y0, sh, _ in shelves:
+        cells = sorted(by_shelf.get(y0, ()), key=lambda t: t[0])
+        x_cur, pieces = 0, []
+        for x0, crop in cells:
+            ch, cw = crop.shape
+            pieces.append(
+                jnp.pad(crop, ((0, sh - ch), (x0 - x_cur, 0)))
+            )
+            x_cur = x0 + cw
+        pieces.append(
+            jnp.zeros((sh, w_comp - x_cur), crops[0].dtype)
+        )
+        shelf_rows.append(jnp.concatenate(pieces, axis=1))
+    comp = jnp.concatenate(shelf_rows, axis=0)
     # per-level 3-px ring frames (static mask)
     mask = np.zeros(comp.shape, bool)
     for (y0, x0, ch, cw) in meta:
