@@ -137,6 +137,19 @@ def count_found(map_points: np.ndarray, outlier: np.ndarray) -> int:
     return count
 
 
+def n_obs_of(mps) -> np.ndarray:
+    """mp.n_obs per entry; -1 for None (no bad check)."""
+    m = _load()
+    n = len(mps)
+    out = np.empty(n, np.int64)
+    if m is not None:
+        m.n_obs_of(_as_list(mps), out)
+        return out
+    for i, mp in enumerate(mps):
+        out[i] = -1 if mp is None else mp.n_obs
+    return out
+
+
 def obs_counts(mps) -> np.ndarray:
     """len(mp.observations) per entry; -1 for None/bad points."""
     m = _load()

@@ -452,8 +452,34 @@ PyObject *fill_obs(PyObject *, PyObject *args) {
   return Py_BuildValue("(Nn)", kf_list, t);
 }
 
+// n_obs_of(seq, out_int64): out[i] = mp.n_obs, -1 for None (no bad check —
+// matches the `mp is None or mp.n_obs < 1` predicate exactly).
+PyObject *n_obs_of(PyObject *, PyObject *args) {
+  PyObject *arr, *out;
+  if (!PyArg_ParseTuple(args, "OO", &arr, &out)) return nullptr;
+  PyObject *seq = PySequence_Fast(arr, "hostops: expected a sequence");
+  if (!seq) return nullptr;
+  Py_ssize_t n = PySequence_Fast_GET_SIZE(seq);
+  Buf b(out, 8, n);
+  if (!b.ok) {
+    Py_DECREF(seq);
+    return nullptr;
+  }
+  int64_t *dst = static_cast<int64_t *>(b.view.buf);
+  PyObject **items = PySequence_Fast_ITEMS(seq);
+  bool err = false;
+  for (Py_ssize_t i = 0; i < n && !err; ++i) {
+    PyObject *mp = items[i];
+    dst[i] = (mp == Py_None) ? -1 : attr_long(mp, s_n_obs, 0, &err);
+  }
+  Py_DECREF(seq);
+  if (err) return nullptr;
+  Py_RETURN_NONE;
+}
+
 PyMethodDef methods[] = {
     {"obs_counts", obs_counts, METH_VARARGS, "observation counts, -1 bad"},
+    {"n_obs_of", n_obs_of, METH_VARARGS, "n_obs per entry, -1 for None"},
     {"fill_obs", fill_obs, METH_VARARGS, "flatten observation graphs"},
     {"slots_fill", slots_fill, METH_VARARGS, "fill int64 slots, -1 detached"},
     {"mark_seen", mark_seen, METH_VARARGS, "visibility bookkeeping pass"},

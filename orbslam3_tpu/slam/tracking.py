@@ -360,11 +360,7 @@ class Tracking:
         # (process in depth order, stop after the first point that is both
         # beyond depth_th and past 100 creations)
         mps = lf.map_points
-        need_new = np.fromiter(
-            ((mps[i] is None or mps[i].n_obs < 1) for i in order),
-            bool,
-            len(order),
-        )
+        need_new = hostops.n_obs_of(mps[order]) < 1
         stop = (z[order] > self.depth_th) & (np.cumsum(need_new) > 100)
         end = int(np.argmax(stop)) + 1 if stop.any() else len(order)
         new_idx = order[:end][need_new[:end]]

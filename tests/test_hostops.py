@@ -60,6 +60,17 @@ def test_slots_of_parity():
     assert (got[:40] >= 0).all() and (got[40:] == -1).all()
 
 
+def test_n_obs_of_parity():
+    (tc, ac, mc), (tp, ap, mp_) = _world()
+    got = hostops.n_obs_of(ac)  # includes the None tail
+    want = np.fromiter(
+        (-1 if m is None else m.n_obs for m in ap), np.int64, count=len(ap)
+    )
+    assert (got == want).all()
+    # bad points report their raw n_obs (no bad masking in this helper)
+    assert got[5] == mc[5].n_obs
+
+
 def test_mark_seen_parity():
     (tc, ac, mc, _), (tp, ap, mp_, _) = _run_both(
         lambda m, t, a: m.mark_seen(a, t, 42, t.seen_stamp),
