@@ -280,8 +280,8 @@ def _main_measurements() -> None:
     params = PyramidParams(n_features=1000)
 
     # ---- stage A: headline FIRST (cache-warm program from prior rounds) ----
-    # n=64 amortises the relay's fixed ~26-45 ms dispatch latency inside ONE
-    # lax.scan dispatch; at n=64 the residual overhead is < 0.7 ms/frame.
+    # n=128 amortises the relay's fixed ~22-45 ms dispatch latency inside ONE
+    # lax.scan dispatch; at n=128 the residual overhead is < 0.4 ms/frame.
     # Kernel-fallback ladder: the round-3 Mosaic kernels (fused detection,
     # halo-strip FAST) were written during a relay outage and have never
     # compiled on real hardware — if Mosaic rejects one, retry with the
@@ -289,7 +289,7 @@ def _main_measurements() -> None:
     # kernel lowering failure costs one compile attempt, not the artifact.
     from orbslam3_tpu.ops import fast as fast_mod
 
-    n = 64
+    n = 128
     run64 = pairs64 = None
     for setting in ("as-configured", "no-fused-detect", "no-pallas"):
         try:
@@ -312,14 +312,14 @@ def _main_measurements() -> None:
             print(f"stage A ({setting}) failed: {type(e).__name__}: {e}",
                   file=sys.stderr, flush=True)
     wall = _median_wall_ms(run64, pairs64, 3)
-    _record(wall / n, "median of 3 runs, 64-frame scan, wall/64")
+    _record(wall / n, "median of 3 runs, %d-frame scan, wall/n" % n)
     wall64_best = wall
 
     # refine with two more reps if time allows
     if _time_left() > 120:
         wall = min(wall64_best, _median_wall_ms(run64, pairs64, 2))
         wall64_best = min(wall64_best, wall)
-        _record(wall64_best / n, "median wall/64 over 5 runs, 64-frame scan")
+        _record(wall64_best / n, "median wall/n over 5 runs, %d-frame scan" % n)
 
     # ---- stage B: supplementary honesty lines (sacrificed on deadline) ----
     # B1: slope method — the relay's per-dispatch latency cancels between two
@@ -331,12 +331,12 @@ def _main_measurements() -> None:
             run8, pairs8 = _build_run(jax, params, 8)
             np.asarray(run8(pairs8))
             wall8 = _median_wall_ms(run8, pairs8, 3)
-            slope_ms = (wall64_best - wall8) / (64 - 8)
+            slope_ms = (wall64_best - wall8) / (n - 8)
             print(json.dumps({
                 "metric": "stereo_extract_match_slope_ms_per_frame",
                 "value": round(slope_ms, 3),
                 "unit": "ms",
-                "note": "(wall(64)-wall(8))/56; dispatch-latency-free sustained compute",
+                "note": "(wall(n)-wall(8))/(n-8), n=%d; dispatch-latency-free sustained compute" % n,
             }), flush=True)
         except Exception:
             pass
@@ -489,7 +489,7 @@ def _main_measurements() -> None:
         try:
             wall = _median_wall_ms(run64, pairs64, 3)
             wall64_best = min(wall64_best, wall)
-            _record(wall64_best / n, "best median wall/64 across refinement rounds")
+            _record(wall64_best / n, "best median wall/n across refinement rounds, %d-frame scan" % n)
         except Exception:
             pass
 
