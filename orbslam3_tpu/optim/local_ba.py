@@ -51,22 +51,46 @@ def local_bundle_adjustment(kf, map_, abort_flag=None, max_fixed: int = 200):
     kf_slot = {k: i for i, k in enumerate(all_kfs)}
     mp_slot = {mp.id: j for j, mp in enumerate(local_mps)}
 
-    cam_idx, pt_idx, uv, ur, inv_s2, obs_ref = [], [], [], [], [], []
-    for j, mp in enumerate(local_mps):
-        for k, (left, right) in mp.observations.items():
-            if k.bad or k not in kf_slot:
-                continue
-            i = left if left >= 0 else right
-            if i < 0:
-                continue
-            cam_idx.append(kf_slot[k])
-            pt_idx.append(j)
-            uv.append(k.kps_un[i])
-            ur.append(k.u_right[i])
-            inv_s2.append(k.inv_level_sigma2[k.octave[i]])
-            obs_ref.append((k, i, mp))
-    if len(cam_idx) < 10 or len(local_kfs) == 0:
+    # Flatten the observation graphs C-speed (hostops.collect_obs preserves
+    # point order then observation insertion order, so edge order — and with
+    # it every downstream tie-break — matches the per-edge Python loop this
+    # replaces exactly), then vectorize the per-KF feature gathers.
+    from orbslam3_tpu.native import hostops
+
+    # collect_obs requires non-bad, observed points; a point can turn bad
+    # between collection and here (mapper-side culling), so prefilter and
+    # remap edge groups back to local_mps indices.
+    counts = hostops.obs_counts(local_mps)
+    old_idx = np.nonzero(counts > 0)[0]
+    kept_mps = [local_mps[i] for i in old_idx]
+    if not kept_mps:
         return 0
+    _, _, grp, kfi, left_a, right_a, obs_kfs = hostops.collect_obs(kept_mps)
+    grp = old_idx[grp]
+    slot_by_kf = np.fromiter(
+        (kf_slot[k] if (k in kf_slot and not k.bad) else -1 for k in obs_kfs),
+        np.int64,
+        count=len(obs_kfs),
+    )
+    i_e = np.where(left_a >= 0, left_a, right_a)
+    keep = (slot_by_kf[kfi] >= 0) & (i_e >= 0) if len(kfi) else np.zeros(0, bool)
+    grp, kfi, i_e = grp[keep], kfi[keep], i_e[keep]
+    cam_idx = slot_by_kf[kfi]
+    pt_idx = grp
+    n_e = len(cam_idx)
+    if n_e < 10 or len(local_kfs) == 0:
+        return 0
+    uv = np.empty((n_e, 2))
+    ur = np.empty(n_e)
+    inv_s2 = np.empty(n_e)
+    for t, k in enumerate(obs_kfs):
+        m = kfi == t
+        if not m.any():
+            continue
+        ii = i_e[m]
+        uv[m] = k.kps_un[ii]
+        ur[m] = k.u_right[ii]
+        inv_s2[m] = k.inv_level_sigma2[k.octave[ii]]
     fixed_mask = np.zeros(len(all_kfs), bool)
     fixed_mask[len(local_kfs):] = True
     if not fixed_mask.any():
@@ -75,11 +99,11 @@ def local_bundle_adjustment(kf, map_, abort_flag=None, max_fixed: int = 200):
     pr = BAProblem(
         poses=[k.Tcw for k in all_kfs],
         points=np.stack([mp.position for mp in local_mps]),
-        cam_idx=np.asarray(cam_idx),
-        pt_idx=np.asarray(pt_idx),
-        obs_uv=np.asarray(uv, np.float64),
-        obs_ur=np.asarray(ur, np.float64),
-        inv_sigma2=np.asarray(inv_s2, np.float64),
+        cam_idx=cam_idx,
+        pt_idx=pt_idx,
+        obs_uv=uv,
+        obs_ur=ur,
+        inv_sigma2=inv_s2,
         fixed_cams=fixed_mask,
         camera=kf.camera,
         mbf=kf.mbf,
@@ -105,7 +129,7 @@ def local_bundle_adjustment(kf, map_, abort_flag=None, max_fixed: int = 200):
     bad = chi2 > th
     n_erased = 0
     for o in np.nonzero(bad)[0]:
-        k, i, mp = obs_ref[o]
+        k, i, mp = obs_kfs[kfi[o]], int(i_e[o]), local_mps[pt_idx[o]]
         if pr.fixed_cams[kf_slot[k]]:
             continue
         mp.erase_observation(k)
