@@ -24,31 +24,51 @@ def build_global_ba(m):
     if len(kfs) < 2 or len(mps) < 20:
         return None
     kf_slot = {k: i for i, k in enumerate(kfs)}
-    cam_idx, pt_idx, uv, ur, is2 = [], [], [], [], []
-    for j, mp in enumerate(mps):
-        for k, (left, right) in mp.observations.items():
-            if k.bad or k not in kf_slot:
-                continue
-            i = left if left >= 0 else right
-            if i < 0:
-                continue
-            cam_idx.append(kf_slot[k])
-            pt_idx.append(j)
-            uv.append(k.kps_un[i])
-            ur.append(k.u_right[i])
-            is2.append(k.inv_level_sigma2[k.octave[i]])
-    if len(cam_idx) < 50:
+    # C-speed flattening of the observation graphs (same edge order as the
+    # per-observation Python loop this replaces: point order, then
+    # observation insertion order), then vectorized per-KF feature gathers.
+    from orbslam3_tpu.native import hostops
+
+    counts = hostops.obs_counts(mps)
+    old_idx = np.nonzero(counts > 0)[0]
+    kept_mps = [mps[i] for i in old_idx]
+    if not kept_mps:
         return None
+    _, _, grp, kfi, left_a, right_a, obs_kfs = hostops.collect_obs(kept_mps)
+    slot_by_kf = np.fromiter(
+        (kf_slot[k] if (k in kf_slot and not k.bad) else -1 for k in obs_kfs),
+        np.int64,
+        count=len(obs_kfs),
+    )
+    i_e = np.where(left_a >= 0, left_a, right_a)
+    keep = (slot_by_kf[kfi] >= 0) & (i_e >= 0) if len(kfi) else np.zeros(0, bool)
+    grp, kfi, i_e = grp[keep], kfi[keep], i_e[keep]
+    cam_idx = slot_by_kf[kfi]
+    pt_idx = old_idx[grp]
+    n_e = len(cam_idx)
+    if n_e < 50:
+        return None
+    uv = np.empty((n_e, 2))
+    ur = np.empty(n_e)
+    is2 = np.empty(n_e)
+    for t, k in enumerate(obs_kfs):
+        sel = kfi == t
+        if not sel.any():
+            continue
+        ii = i_e[sel]
+        uv[sel] = k.kps_un[ii]
+        ur[sel] = k.u_right[ii]
+        is2[sel] = k.inv_level_sigma2[k.octave[ii]]
     fixed = np.zeros(len(kfs), bool)
     fixed[0] = True
     pr = BAProblem(
         poses=[k.Tcw.copy() for k in kfs],
         points=np.stack([mp.position for mp in mps]),
-        cam_idx=np.asarray(cam_idx),
-        pt_idx=np.asarray(pt_idx),
-        obs_uv=np.asarray(uv, np.float64),
-        obs_ur=np.asarray(ur, np.float64),
-        inv_sigma2=np.asarray(is2, np.float64),
+        cam_idx=cam_idx,
+        pt_idx=pt_idx,
+        obs_uv=uv,
+        obs_ur=ur,
+        inv_sigma2=is2,
         fixed_cams=fixed,
         camera=kfs[0].camera,
         mbf=kfs[0].mbf,
