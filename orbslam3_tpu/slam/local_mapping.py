@@ -526,31 +526,53 @@ class LocalMapping:
         kf.update_connections()
 
     def _cull_keyframes(self, kf):
-        """Drop KFs with >=90% redundant observations (LocalMapping.cc:902)."""
+        """Drop KFs with >=90% redundant observations (LocalMapping.cc:902).
+
+        Vectorized over the observation graph: per candidate KF, flatten its
+        points' observations C-speed (hostops) and count same-or-finer-scale
+        observers per point with one bincount — same redundancy decision as
+        the reference's triple loop (>= th_obs observers at octave <=
+        scale_level + 1 over depth-eligible points)."""
+        from orbslam3_tpu.native import hostops
+
+        th_obs = 3
         for k in kf.get_best_covisibility_keyframes(100):
             if k.bad or k.id == (k.map.init_kf_id if k.map is not None else 0):
                 continue
-            n_mps, n_redundant = 0, 0
-            th_obs = 3
-            for i, mp in k.get_map_point_indices():
-                if not self.monocular and (k.depth[i] > k.mb * 35 or k.depth[i] < 0):
-                    continue
-                n_mps += 1
-                if mp.n_obs <= th_obs:
-                    continue
-                scale_level = k.octave[i]
-                n_better = 0
-                for kf_o, (left, right) in mp.observations.items():
-                    if kf_o is k or kf_o.bad:
-                        continue
-                    io = left if left >= 0 else right
-                    if io < 0:
-                        continue
-                    if kf_o.octave[io] <= scale_level + 1:
-                        n_better += 1
-                        if n_better >= th_obs:
-                            break
-                if n_better >= th_obs:
-                    n_redundant += 1
-            if n_mps > 0 and n_redundant > 0.9 * n_mps:
+            pairs = k.get_map_point_indices()
+            if not pairs:
+                continue
+            idx_arr = np.fromiter((i for i, _ in pairs), np.int64, len(pairs))
+            mps = [mp for _, mp in pairs]
+            if not self.monocular:
+                d = k.depth[idx_arr]
+                elig = (d <= k.mb * 35) & (d >= 0)
+            else:
+                elig = np.ones(len(pairs), bool)
+            n_mps = int(elig.sum())
+            if n_mps == 0:
+                continue
+            counts = hostops.obs_counts(mps)
+            cand = np.nonzero(elig & (hostops.n_obs_of(mps) > th_obs)
+                              & (counts > 0))[0]
+            if 0.9 * n_mps >= len(cand):
+                continue  # even all-redundant candidates can't cross 90%
+            sub = [mps[i] for i in cand]
+            _, _, grp, kfi, left_a, right_a, obs_kfs = hostops.collect_obs(sub)
+            ok_kf = np.fromiter(
+                (not (o is k or o.bad) for o in obs_kfs), bool, count=len(obs_kfs)
+            )
+            i_e = np.where(left_a >= 0, left_a, right_a)
+            edge_ok = ok_kf[kfi] & (i_e >= 0) if len(kfi) else np.zeros(0, bool)
+            oct_e = np.zeros(len(grp), np.int64)
+            i_safe = np.maximum(i_e, 0)
+            for t, o in enumerate(obs_kfs):
+                sel = (kfi == t) & edge_ok
+                if sel.any():
+                    oct_e[sel] = o.octave[i_safe[sel]]
+            scale_lv = k.octave[idx_arr[cand]]
+            better = edge_ok & (oct_e <= scale_lv[grp] + 1)
+            nb = np.bincount(grp[better], minlength=len(sub))
+            n_redundant = int((nb >= th_obs).sum())
+            if n_redundant > 0.9 * n_mps:
                 k.set_bad()
