@@ -207,11 +207,16 @@ class KeyFrame:
         return self._mp_cache
 
     def tracked_map_points(self, min_obs: int) -> int:
-        c = 0
-        for mp in self.map_points:
-            if mp is not None and not mp.bad and mp.n_obs >= min_obs:
-                c += 1
-        return c
+        """Count of live (not bad) points with >= min_obs observations —
+        called every frame by the new-KF policy, so it runs as two C passes
+        (obs_counts is -1 exactly for None/bad slots)."""
+        from orbslam3_tpu.native import hostops
+
+        mps = self.map_points
+        return int(
+            ((hostops.obs_counts(mps) >= 0)
+             & (hostops.n_obs_of(mps) >= min_obs)).sum()
+        )
 
     def get_map_point_indices(self):
         return [

@@ -756,9 +756,7 @@ class Tracking:
         n_tracked_close = n_nontracked_close = 0
         if self.mbf > 0:
             close = (f.depth > 0) & (f.depth < self.depth_th)
-            tracked = np.array(
-                [mp is not None and not o for mp, o in zip(f.map_points, f.outlier)]
-            )
+            tracked = (f.map_points != None) & ~f.outlier  # noqa: E711 — elementwise
             n_tracked_close = int((close & tracked).sum())
             n_nontracked_close = int((close & ~tracked).sum())
         # Reference: tracked-close < 100 AND untracked-close > 70
