@@ -454,16 +454,28 @@ def _main_measurements() -> None:
                 camera, fx * baseline, PP(n_features=1000), sequential=False
             )
             est, gt, times = [], [], []
-            handle = sysm.prefetch_stereo(frames[0][0], frames[0][1])
+            # Prefetch depth: extraction of future frames is independent of
+            # tracking, so several dispatches ride the relay concurrently;
+            # depth D gives each result ~D host-track intervals to arrive
+            # before np.asarray blocks on it.  Depth 1 already suffices on
+            # attached hardware (device ~2 ms < host ~8 ms); the extra depth
+            # only hides this environment's ~25-40 ms tunnel RTT.
+            depth = int(os.environ.get("BENCH_PIPE_DEPTH", "4"))
+            from collections import deque
+
+            handles = deque(
+                sysm.prefetch_stereo(frames[k][0], frames[k][1])
+                for k in range(min(depth, n_frames))
+            )
             for kf in range(n_frames):
                 t0 = time.perf_counter()
-                if kf + 1 < n_frames:
-                    nxt = sysm.prefetch_stereo(
-                        frames[kf + 1][0], frames[kf + 1][1]
+                if kf + depth < n_frames:
+                    handles.append(
+                        sysm.prefetch_stereo(
+                            frames[kf + depth][0], frames[kf + depth][1]
+                        )
                     )
-                pose = sysm.track_stereo_prefetched(handle, kf / 20.0)
-                if kf + 1 < n_frames:
-                    handle = nxt
+                pose = sysm.track_stereo_prefetched(handles.popleft(), kf / 20.0)
                 dt = (time.perf_counter() - t0) * 1e3
                 if kf >= 10:
                     times.append(dt)
@@ -479,7 +491,8 @@ def _main_measurements() -> None:
                 "tracked": len(est),
                 "frames": n_frames,
                 "ate_rmse_m": round(float(rmse), 4),
-                "note": "full SLAM loop (device front-end + host tracking) through the relay; ~25-40 ms/frame of this is fixed tunnel latency absent on attached hardware",
+                "pipe_depth": depth,
+                "note": "full SLAM loop (device front-end + host tracking) through the relay; prefetch depth hides the tunnel RTT behind host tracking — depth 1 suffices on attached hardware",
             }), flush=True)
         except Exception:
             pass
