@@ -238,7 +238,10 @@ class MapPoint:
         n = len(positions)
         base = cls._next_id
         cls._next_id = base + n
-        positions = np.ascontiguousarray(positions, np.float64)
+        # dedicated buffers so row views are independent of caller arrays;
+        # in-place writes touch only their own row, rebinds just rebind
+        positions = np.array(positions, np.float64, copy=True)
+        descs = np.array(descs, np.uint8, copy=True)
         zeros3 = np.zeros(3)
         zeros3.setflags(write=False)  # shared placeholder; writers rebind
         out = []
@@ -247,12 +250,12 @@ class MapPoint:
             mp.id = base + k
             mp._table = None
             mp._slot = -1
-            mp._position = positions[k].copy()
+            mp._position = positions[k]
             mp.ref_kf = None
             mp.map = None
             mp.observations = {}
             mp.n_obs = 0
-            mp.descriptor = descs[k].copy()
+            mp.descriptor = descs[k]
             mp.normal = zeros3
             mp.min_distance = 0.0
             mp.max_distance = 0.0
