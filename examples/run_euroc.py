@@ -46,7 +46,12 @@ def load_imu(imu_dir: str):
 
 
 def main(seq_dir: str, settings_path: str, voc_path: str | None = None,
-         sensor: str = "stereo"):
+         sensor: str = "stereo", pipeline: int = 0):
+    """`pipeline` > 0 prefetches that many frames of device extraction
+    ahead of host tracking (System.prefetch_stereo /
+    track_stereo_prefetched), overlapping extraction dispatch + D2H copy
+    with tracking — 1-2 is enough on attached hardware.  0 = synchronous
+    track_stereo (reference stereo_euroc behavior)."""
     import cv2
 
     from orbslam3_tpu.slam.system import System
@@ -65,11 +70,33 @@ def main(seq_dir: str, settings_path: str, voc_path: str | None = None,
     slam = System.from_files(voc_path, settings_path, sensor=sensor)
     t_start = time.time()
     prev_ns = None
+
+    def _load(fname):
+        l = cv2.imread(os.path.join(cam0, "data", fname), cv2.IMREAD_GRAYSCALE)
+        r = cv2.imread(os.path.join(cam1, "data", fname), cv2.IMREAD_GRAYSCALE)
+        return (l, r) if l is not None and r is not None else None
+
+    from collections import deque
+
+    fifo: deque = deque()  # (handle, ns) when pipelined
+    feed = iter(stamps)
     for k, (ns, fname) in enumerate(stamps):
-        img_l = cv2.imread(os.path.join(cam0, "data", fname), cv2.IMREAD_GRAYSCALE)
-        img_r = cv2.imread(os.path.join(cam1, "data", fname), cv2.IMREAD_GRAYSCALE)
-        if img_l is None or img_r is None:
-            continue
+        if pipeline > 0:
+            while len(fifo) <= pipeline:
+                try:
+                    ns_n, fname_n = next(feed)
+                except StopIteration:
+                    break
+                pair = _load(fname_n)
+                if pair is not None:
+                    fifo.append((slam.prefetch_stereo(*pair), ns_n))
+            if not fifo:
+                break
+            handle, ns = fifo.popleft()
+        else:
+            pair = _load(fname)
+            if pair is None:
+                continue
         imu = None
         if inertial and prev_ns is not None:
             sel = (imu_ts > prev_ns) & (imu_ts <= ns)
@@ -77,7 +104,10 @@ def main(seq_dir: str, settings_path: str, voc_path: str | None = None,
                 tsel = imu_ts[sel]
                 dts = np.diff(np.concatenate([[prev_ns], tsel])) * 1e-9
                 imu = (imu_acc[sel], imu_gyro[sel], dts)
-        slam.track_stereo(img_l, img_r, ns * 1e-9, imu=imu)
+        if pipeline > 0:
+            slam.track_stereo_prefetched(handle, ns * 1e-9, imu=imu)
+        else:
+            slam.track_stereo(*pair, ns * 1e-9, imu=imu)
         prev_ns = ns
         if k % 50 == 0:
             st = slam.map_stats()
@@ -96,13 +126,22 @@ def main(seq_dir: str, settings_path: str, voc_path: str | None = None,
 
 
 if __name__ == "__main__":
-    if len(sys.argv) < 3:
-        print(
-            "usage: run_euroc.py <seq_dir> <settings.yaml> [--imu] [--max-frames N]\n"
-            "  seq_dir: EuRoC sequence root (mav0/cam0/data, mav0/cam1/data,\n"
-            "  mav0/imu0/data.csv).  Writes CameraTrajectory.txt and\n"
-            "  KeyFrameTrajectory.txt (TUM format) — the reference's\n"
-            "  stereo_euroc / stereo_inertial_euroc example contract."
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description=(
+            "EuRoC sequence driver (reference stereo_euroc / "
+            "stereo_inertial_euroc contract): seq_dir holds cam0/data, "
+            "cam1/data, imu0/data.csv.  Writes CameraTrajectory.txt and "
+            "KeyFrameTrajectory.txt (TUM format)."
         )
-        sys.exit(2)
-    main(*sys.argv[1:])
+    )
+    ap.add_argument("seq_dir")
+    ap.add_argument("settings")
+    ap.add_argument("voc", nargs="?", default=None)
+    ap.add_argument("--sensor", default="stereo",
+                    help="stereo | stereo-inertial")
+    ap.add_argument("--pipeline", type=int, default=0,
+                    help="prefetch depth (0 = synchronous)")
+    a = ap.parse_args()
+    main(a.seq_dir, a.settings, a.voc, sensor=a.sensor, pipeline=a.pipeline)

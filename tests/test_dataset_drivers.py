@@ -92,7 +92,10 @@ ORBextractor.minThFAST: 7
 
 
 @pytest.mark.slow
-def test_run_euroc_driver(tmp_path, monkeypatch):
+@pytest.mark.parametrize("pipeline", [0, 2])
+def test_run_euroc_driver(tmp_path, monkeypatch, pipeline):
+    """pipeline=0: the reference stereo_euroc synchronous contract;
+    pipeline=2: the prefetch-overlap path (same outputs, same ATE gate)."""
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
     import run_euroc
 
@@ -105,7 +108,7 @@ def test_run_euroc_driver(tmp_path, monkeypatch):
     _euroc_yaml(yaml_path)
 
     monkeypatch.chdir(tmp_path)
-    slam = run_euroc.main(seq, yaml_path, None, "stereo")
+    slam = run_euroc.main(seq, yaml_path, None, "stereo", pipeline=pipeline)
 
     traj = os.path.join(str(tmp_path), "CameraTrajectory.txt")
     kf_traj = os.path.join(str(tmp_path), "KeyFrameTrajectory.txt")
