@@ -460,7 +460,7 @@ def _main_measurements() -> None:
             # before np.asarray blocks on it.  Depth 1 already suffices on
             # attached hardware (device ~2 ms < host ~8 ms); the extra depth
             # only hides this environment's ~25-40 ms tunnel RTT.
-            depth = int(os.environ.get("BENCH_PIPE_DEPTH", "4"))
+            depth = max(1, int(os.environ.get("BENCH_PIPE_DEPTH", "4")))
             from collections import deque
 
             handles = deque(

@@ -2,8 +2,11 @@
 
 Usage:
   python examples/run_euroc.py <mav0 dir> <settings.yaml> [voc] [sensor]
+      [--sensor stereo|stereo-inertial] [--pipeline N]
 
-  sensor: stereo (default) | stereo-inertial
+  sensor: stereo (default) | stereo-inertial (4th positional or --sensor)
+  --pipeline N: prefetch N frames of device extraction ahead of host
+      tracking (0 = synchronous, the reference drive-loop behavior)
 
 Expects EuRoC ASL layout: mav0/cam0/data/*.png, mav0/cam1/data/*.png,
 mav0/cam0/data.csv for timestamps, mav0/imu0/data.csv for IMU
@@ -139,9 +142,12 @@ if __name__ == "__main__":
     ap.add_argument("seq_dir")
     ap.add_argument("settings")
     ap.add_argument("voc", nargs="?", default=None)
+    ap.add_argument("sensor_pos", nargs="?", default=None, metavar="sensor",
+                    help="legacy 4th positional: stereo | stereo-inertial")
     ap.add_argument("--sensor", default="stereo",
                     help="stereo | stereo-inertial")
     ap.add_argument("--pipeline", type=int, default=0,
                     help="prefetch depth (0 = synchronous)")
     a = ap.parse_args()
-    main(a.seq_dir, a.settings, a.voc, sensor=a.sensor, pipeline=a.pipeline)
+    main(a.seq_dir, a.settings, a.voc, sensor=a.sensor_pos or a.sensor,
+         pipeline=max(0, a.pipeline))

@@ -51,10 +51,13 @@ def build_global_ba(m):
     uv = np.empty((n_e, 2))
     ur = np.empty(n_e)
     is2 = np.empty(n_e)
-    for t, k in enumerate(obs_kfs):
-        sel = kfi == t
-        if not sel.any():
-            continue
+    # group edges by KF with one argsort (O(E log E), not O(E x KFs))
+    order = np.argsort(kfi, kind="stable")
+    kfi_s = kfi[order]
+    bounds = np.r_[0, np.nonzero(np.diff(kfi_s))[0] + 1, n_e]
+    for b0, b1 in zip(bounds[:-1], bounds[1:]):
+        sel = order[b0:b1]
+        k = obs_kfs[int(kfi_s[b0])]
         ii = i_e[sel]
         uv[sel] = k.kps_un[ii]
         ur[sel] = k.u_right[ii]

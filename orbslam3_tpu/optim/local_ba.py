@@ -83,14 +83,17 @@ def local_bundle_adjustment(kf, map_, abort_flag=None, max_fixed: int = 200):
     uv = np.empty((n_e, 2))
     ur = np.empty(n_e)
     inv_s2 = np.empty(n_e)
-    for t, k in enumerate(obs_kfs):
-        m = kfi == t
-        if not m.any():
-            continue
-        ii = i_e[m]
-        uv[m] = k.kps_un[ii]
-        ur[m] = k.u_right[ii]
-        inv_s2[m] = k.inv_level_sigma2[k.octave[ii]]
+    # group edges by KF with one argsort (O(E log E), not O(E x KFs))
+    order = np.argsort(kfi, kind="stable")
+    kfi_s = kfi[order]
+    bounds = np.r_[0, np.nonzero(np.diff(kfi_s))[0] + 1, n_e]
+    for b0, b1 in zip(bounds[:-1], bounds[1:]):
+        sel = order[b0:b1]
+        k = obs_kfs[int(kfi_s[b0])]
+        ii = i_e[sel]
+        uv[sel] = k.kps_un[ii]
+        ur[sel] = k.u_right[ii]
+        inv_s2[sel] = k.inv_level_sigma2[k.octave[ii]]
     fixed_mask = np.zeros(len(all_kfs), bool)
     fixed_mask[len(local_kfs):] = True
     if not fixed_mask.any():

@@ -566,10 +566,15 @@ class LocalMapping:
             edge_ok = ok_kf[kfi] & (i_e >= 0) if len(kfi) else np.zeros(0, bool)
             oct_e = np.zeros(len(grp), np.int64)
             i_safe = np.maximum(i_e, 0)
-            for t, o in enumerate(obs_kfs):
-                sel = (kfi == t) & edge_ok
-                if sel.any():
-                    oct_e[sel] = o.octave[i_safe[sel]]
+            # group edges by KF with one argsort (O(E log E), not O(E x KFs))
+            order = np.argsort(kfi, kind="stable")
+            kfi_s = kfi[order]
+            bounds = np.r_[0, np.nonzero(np.diff(kfi_s))[0] + 1, len(kfi_s)]
+            for b0, b1 in zip(bounds[:-1], bounds[1:]):
+                sel = order[b0:b1]
+                sel = sel[edge_ok[sel]]
+                if len(sel):
+                    oct_e[sel] = obs_kfs[int(kfi_s[b0])].octave[i_safe[sel]]
             scale_lv = k.octave[idx_arr[cand]]
             better = edge_ok & (oct_e <= scale_lv[grp] + 1)
             nb = np.bincount(grp[better], minlength=len(sub))

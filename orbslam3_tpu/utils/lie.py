@@ -243,9 +243,11 @@ def project_to_so3(r: np.ndarray) -> np.ndarray:
         e = r.T @ r
         e.flat[::4] -= 1.0
         n = np.abs(e).max()
-        if n < 1e-5:
+        # the series projects onto the nearest ORTHOGONAL matrix; require
+        # det > 0 so reflections still take the SVD's proper-rotation fix
+        if n < 1e-5 and np.linalg.det(r) > 0:
             if n < 1e-15:
-                return r
+                return r.copy()  # never alias the caller's array
             return r @ (_I3 - 0.5 * e + 0.375 * (e @ e))
     u, _, vt = np.linalg.svd(r)
     d = np.sign(np.linalg.det(u @ vt))
