@@ -124,13 +124,28 @@ def extract_from_pyramid(
     # inside each level; BRIEF's rotated pattern reach 18 < the 19-px
     # per-level reflect border), so no window crosses a level seam, and all
     # coordinates are integral (composite row offsets commute with rint).
+    # fast path: every level active at its full static quota (the standard
+    # EuRoC-like geometry) — assemble per-slot metadata with whole-array ops
+    # instead of ~20 tiny per-level HLOs x L levels (at 1801 device ops per
+    # stereo program, per-op sequencer overhead is a measurable cost)
+    flat = sel_levels == list(range(len(pyramid))) and all(
+        ke == quotas[l] for ke, l in zip(k_effs, sel_levels)
+    )
     safe_xys, level_meta = [], []
-    for level in sel_levels:
-        xy_c, resp, valid = selections[level]
-        xy_i = xy_c + b  # add detection border back (addBorder_kernel semantics)
-        safe_xy = jnp.where(valid[:, None], xy_i, b + 3)  # keep slices in-bounds
-        safe_xys.append(safe_xy)
-        level_meta.append((level, xy_i, resp, valid))
+    if flat:
+        xy_cat = jnp.concatenate([selections[l][0] for l in sel_levels]) + b
+        resp_cat = jnp.concatenate([selections[l][1] for l in sel_levels])
+        valid_cat = jnp.concatenate([selections[l][2] for l in sel_levels])
+        safe_cat = jnp.where(valid_cat[:, None], xy_cat, b + 3)
+        safe_xys = [safe_cat]  # one composite "level" for the y0 offsets
+        level_meta = None
+    else:
+        for level in sel_levels:
+            xy_c, resp, valid = selections[level]
+            xy_i = xy_c + b  # add detection border back (addBorder semantics)
+            safe_xy = jnp.where(valid[:, None], xy_i, b + 3)  # in-bounds slices
+            safe_xys.append(safe_xy)
+            level_meta.append((level, xy_i, resp, valid))
     if sel_levels:
         raw_wmax = max(pyramid[l].shape[1] for l in sel_levels)
         samp_wmax = raw_wmax + 2 * 19  # BRIEF_PAD borders
@@ -148,22 +163,41 @@ def extract_from_pyramid(
             )
         comp_raw = jnp.concatenate(raw_rows, axis=0)
         comp_samp = jnp.concatenate(samp_rows, axis=0)
-        off = jnp.concatenate(
-            [
-                jnp.zeros((sx.shape[0], 2), jnp.int32).at[:, 1].set(y0)
-                for sx, y0 in zip(safe_xys, y0_raw)
-            ]
-        )
-        off_s = jnp.concatenate(
-            [
-                jnp.zeros((sx.shape[0], 2), jnp.int32).at[:, 1].set(y0)
-                for sx, y0 in zip(safe_xys, y0_samp)
-            ]
-        )
-        xy_all = jnp.concatenate(safe_xys)
+        # y0s and quotas are static -> the per-slot row offsets are host
+        # constants, zero device ops
+        def _offsets(y0s):
+            col = np.repeat(np.asarray(y0s, np.int32), k_effs)
+            return jnp.asarray(
+                np.stack([np.zeros_like(col), col], axis=1)
+            )
+
+        off, off_s = _offsets(y0_raw), _offsets(y0_samp)
+        xy_all = safe_xys[0] if flat else jnp.concatenate(safe_xys)
         angles_all = ic_angles(comp_raw, xy_all + off)
         desc_all = brief_descriptors(
             comp_samp, (xy_all + off_s).astype(jnp.float32), angles_all
+        )
+    if flat:
+        # whole-array slot metadata: scale/octave/size are host constants
+        scale_vec = np.repeat(
+            np.asarray([1.0] + [float(s) for s in scales[1:]], np.float32),
+            quotas,
+        )
+        oct_np = np.repeat(np.arange(len(quotas), dtype=np.int32), quotas)
+        size_np = (PATCH_SIZE * scale_vec).astype(np.float32)
+        v = valid_cat
+        return FrameFeatures(
+            xy=jnp.where(
+                v[:, None],
+                xy_cat.astype(jnp.float32) * jnp.asarray(scale_vec)[:, None],
+                0.0,
+            ),
+            response=jnp.where(v, resp_cat.astype(jnp.float32), 0.0),
+            angle=jnp.where(v, angles_all, 0.0),
+            octave=jnp.asarray(oct_np),
+            size=jnp.asarray(size_np),
+            valid=v,
+            desc=jnp.where(v[:, None], desc_all, 0),
         )
     starts = np.cumsum([0] + [sx.shape[0] for sx in safe_xys])
     per_level = {
