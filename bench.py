@@ -215,6 +215,26 @@ def pallas_parity_checks(jax) -> dict:
     want_s = np.asarray(img)[r0 + ridx, c0 + cidx].astype(np.float32)
     results["sample_windows_exact"] = bool(np.array_equal(got_s, want_s))
 
+    # fused window moments (IC-angle): pallas gather+reduce vs gather+einsum
+    from orbslam3_tpu.oracle.orb_cpu import ic_moment_weights
+
+    w10, w01 = ic_moment_weights()
+    nr = nc = w10.shape[0]
+    nrp, ncp = -(-(nr + 8) // 8) * 8, -(-(nc + 128) // 128) * 128
+    wp = np.zeros((2, nrp, ncp), np.float32)
+    wp[0, :nr, :nc] = w10
+    wp[1, :nr, :nc] = w01
+    got_m = np.asarray(
+        wg._window_moments_pallas(
+            img, row0, col0, jnp.asarray(wp), nr, nc, interpret=not on_tpu
+        )
+    )[:, :2]
+    pat = np.asarray(extract_row_strips(img, row0, col0, nr, nc))
+    want_m = np.stack(
+        [(pat * w10[None]).sum((1, 2)), (pat * w01[None]).sum((1, 2))], axis=1
+    ).astype(np.float32)
+    results["window_moments_exact"] = bool(np.array_equal(got_m, want_m))
+
     # FAST raw score: pallas bf16 strips vs XLA roll formulation
     img_u8 = jnp.asarray(make_frame(321))
     got_f = np.asarray(fast_mod._raw_score_pallas(img_u8, interpret=not on_tpu))
@@ -258,6 +278,7 @@ def pallas_parity_checks(jax) -> dict:
     results["ok"] = (
         results["window_gather_exact"]
         and results["sample_windows_exact"]
+        and results["window_moments_exact"]
         and results["fast_score_exact"]
         and results["fused_detect_exact"]
     )

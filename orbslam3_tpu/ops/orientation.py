@@ -28,17 +28,15 @@ def patch_moments(img: jax.Array, xy: jax.Array) -> tuple[jax.Array, jax.Array]:
     bf16-exact; |moments| <= 3.7M < 2^24 is f32-exact), so results equal the
     oracle's integer sums bit-for-bit.
     """
-    from orbslam3_tpu.ops.window_gather import gather_windows
+    from orbslam3_tpu.ops.window_gather import window_moments
 
-    w10 = jnp.asarray(_W10_NP, jnp.bfloat16)
-    w01 = jnp.asarray(_W01_NP, jnp.bfloat16)
-    p = 2 * HALF_PATCH_SIZE + 1
-    patches = gather_windows(
-        img, xy[:, 1] - HALF_PATCH_SIZE, xy[:, 0] - HALF_PATCH_SIZE, p, p
-    ).astype(jnp.bfloat16)
-    m10 = jnp.einsum("kpq,pq->k", patches, w10, preferred_element_type=jnp.float32)
-    m01 = jnp.einsum("kpq,pq->k", patches, w01, preferred_element_type=jnp.float32)
-    return m10, m01
+    return window_moments(
+        img,
+        xy[:, 1] - HALF_PATCH_SIZE,
+        xy[:, 0] - HALF_PATCH_SIZE,
+        _W10_NP.astype(np.float32),
+        _W01_NP.astype(np.float32),
+    )
 
 
 @jax.jit

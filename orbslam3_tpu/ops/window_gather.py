@@ -32,6 +32,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _PALLAS_ENV = os.environ.get("ORBSLAM3_TPU_PALLAS_GATHER", "1") == "1"
 # fused gather+sample kernel (sample_windows).  Default OFF: measured on v5e
@@ -117,6 +118,105 @@ def _gather_windows_pallas(
         interpret=interpret,
     )(rc, imgp)
     return out[:k]
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def _window_moments_pallas(
+    img2d: jax.Array,
+    row0: jax.Array,
+    col0: jax.Array,
+    wplanes: jax.Array,  # (2, nrp, ncp) f32, zero outside [0:nr, 0:nc]
+    nr: int,
+    nc: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """(K, 2) f32 weighted window sums: out[k, m] = sum(win_k * wplanes[m]).
+
+    Folds the IC-moment reduction into the window gather so the (K, nr, nc)
+    patches never round-trip HBM (vs gather_windows + einsum, ~40 MB/frame
+    at EuRoC scale).  Exact for the IC use: pixels and weights are integer-
+    valued f32, every product < 2^12 and every sum < 2^24, so f32
+    accumulation is order-independent — bit-identical to the einsum path."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    h, w = img2d.shape
+    k = row0.shape[0]
+    kb = _KB
+    kp = -(-k // kb) * kb
+    rc = jnp.stack(
+        [
+            jnp.clip(row0.astype(jnp.int32), 0, h - nr),
+            jnp.clip(col0.astype(jnp.int32), 0, w - nc),
+        ],
+        axis=1,
+    )
+    rc = jnp.pad(rc, ((0, kp - k), (0, 0)))
+    nrp = -(-(nr + 8) // 8) * 8
+    ncp = -(-(nc + 128) // 128) * 128
+    imgp = jnp.pad(img2d.astype(jnp.float32), ((0, nrp), (0, ncp)))
+
+    def kernel(rc_ref, img_ref, w_ref, out_ref):
+        i = pl.program_id(0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        for j in range(kb):
+            r0 = rc_ref[i * kb + j, 0]
+            c0 = rc_ref[i * kb + j, 1]
+            rb = pl.multiple_of((r0 // 8) * 8, 8)
+            cb = pl.multiple_of((c0 // 128) * 128, 128)
+            win = img_ref[pl.ds(rb, nrp), pl.ds(cb, ncp)]
+            win = pltpu.roll(win, (nrp - (r0 - rb)) % nrp, axis=0)
+            win = pltpu.roll(win, (ncp - (c0 - cb)) % ncp, axis=1)
+            m10 = jnp.sum(win * w_ref[0])
+            m01 = jnp.sum(win * w_ref[1])
+            out_ref[j] = jnp.where(lane == 0, m10, jnp.where(lane == 1, m01, 0.0))[0]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(kp // kb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (kb, 128), lambda i, rc: (i, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((kp, 128), jnp.float32),
+        interpret=interpret,
+    )(rc, imgp, wplanes)
+    return out[:k, :2]
+
+
+def window_moments(
+    img2d: jax.Array,
+    row0: jax.Array,
+    col0: jax.Array,
+    w10: np.ndarray,
+    w01: np.ndarray,
+) -> tuple[jax.Array, jax.Array]:
+    """(m10, m01) weighted window sums per keypoint; weights (nr, nc) are
+    integer-valued host constants.  Fused Pallas kernel on TPU; the
+    gather_windows + einsum composition (the semantic spec) elsewhere —
+    bit-identical (integer sums < 2^24 are exact in f32 either way)."""
+    nr, nc = w10.shape
+    if _use_pallas():
+        nrp = -(-(nr + 8) // 8) * 8
+        ncp = -(-(nc + 128) // 128) * 128
+        wp = np.zeros((2, nrp, ncp), np.float32)
+        wp[0, :nr, :nc] = w10
+        wp[1, :nr, :nc] = w01
+        out = _window_moments_pallas(img2d, row0, col0, jnp.asarray(wp), nr, nc)
+        return out[:, 0], out[:, 1]
+    patches = gather_windows(img2d, row0, col0, nr, nc).astype(jnp.bfloat16)
+    w10b = jnp.asarray(w10, jnp.bfloat16)
+    w01b = jnp.asarray(w01, jnp.bfloat16)
+    m10 = jnp.einsum("kpq,pq->k", patches, w10b, preferred_element_type=jnp.float32)
+    m01 = jnp.einsum("kpq,pq->k", patches, w01b, preferred_element_type=jnp.float32)
+    return m10, m01
 
 
 @functools.partial(jax.jit, static_argnums=(5, 6, 7))

@@ -65,3 +65,40 @@ def test_pallas_sample_windows_bit_exact():
             )
         )
         assert (out == ref).all(), (nr, nc, s, np.argwhere(out != ref)[:3])
+
+
+def test_pallas_window_moments_bit_exact():
+    """Fused gather+moment kernel == gather + weighted-sum spec (exact:
+    integer-valued f32 products < 2^12, sums < 2^24)."""
+    from orbslam3_tpu.ops.window_gather import (
+        _window_moments_pallas,
+        gather_windows,
+    )
+    from orbslam3_tpu.oracle.orb_cpu import ic_moment_weights
+
+    w10, w01 = ic_moment_weights()
+    nr, nc = w10.shape
+    nrp, ncp = -(-(nr + 8) // 8) * 8, -(-(nc + 128) // 128) * 128
+    wp = np.zeros((2, nrp, ncp), np.float32)
+    wp[0, :nr, :nc] = w10
+    wp[1, :nr, :nc] = w01
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (213, 331), np.uint8)
+    for k in (1, 9, 64):
+        row0 = rng.integers(0, 213 - nr + 1, k).astype(np.int32)
+        col0 = rng.integers(0, 331 - nc + 1, k).astype(np.int32)
+        out = np.asarray(
+            _window_moments_pallas(
+                jnp.asarray(img), jnp.asarray(row0), jnp.asarray(col0),
+                jnp.asarray(wp), nr, nc, True,
+            )
+        )[:, :2]
+        pat = np.asarray(
+            gather_windows(jnp.asarray(img), jnp.asarray(row0),
+                           jnp.asarray(col0), nr, nc)
+        )
+        want = np.stack(
+            [(pat * w10[None]).sum((1, 2)), (pat * w01[None]).sum((1, 2))],
+            axis=1,
+        ).astype(np.float32)
+        assert (out == want).all(), k
