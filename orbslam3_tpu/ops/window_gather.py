@@ -42,6 +42,16 @@ _PALLAS_ENV = os.environ.get("ORBSLAM3_TPU_PALLAS_GATHER", "1") == "1"
 # full bandwidth (~0.18 ms, its roofline).  Kept hardware-parity-checked
 # (bench.py --verify) as the option that wins if K shrinks or S grows.
 _PALLAS_SAMPLE = os.environ.get("ORBSLAM3_TPU_PALLAS_SAMPLE", "0") == "1"
+# fused gather+moment kernel (window_moments).  Default OFF: in isolation it
+# runs the orientation stage ~5x faster (0.02 vs 0.10 ms/camera — the
+# (K, 40, 128) patch round-trip and the moment einsums disappear), but in
+# the full fused stereo program the A/B is a wash (measured 2.082 vs 2.054
+# ms/frame wall/64 medians, overlapping ranges) — XLA already overlaps the
+# einsum with neighboring stages, and the kernel pins a second copy of the
+# composite in VMEM.  Kept hardware-parity-checked (bench.py --verify) as
+# the option that wins when orientation runs standalone or VMEM pressure
+# drops.
+_PALLAS_MOMENTS = os.environ.get("ORBSLAM3_TPU_PALLAS_MOMENTS", "0") == "1"
 
 # keypoints copied per grid step; sized so the out block (KB, nr, nc) keeps
 # Mosaic's relayout work per step small while amortising step overhead
@@ -203,7 +213,7 @@ def window_moments(
     gather_windows + einsum composition (the semantic spec) elsewhere —
     bit-identical (integer sums < 2^24 are exact in f32 either way)."""
     nr, nc = w10.shape
-    if _use_pallas():
+    if _PALLAS_MOMENTS and _use_pallas():
         nrp = -(-(nr + 8) // 8) * 8
         ncp = -(-(nc + 128) // 128) * 128
         wp = np.zeros((2, nrp, ncp), np.float32)
