@@ -91,24 +91,30 @@ def _gather_windows_pallas(
         axis=1,
     )
     rc = jnp.pad(rc, ((0, kp - k), (0, 0)))
-    # Mosaic only supports dynamic slice starts aligned to the (8, 128) f32
-    # tile, so slices start at an aligned base and the sub-tile residual is
-    # applied with a dynamic circular rotate; pad so every aligned window
-    # stays in-bounds.  f32 (not bf16): alignment granule is 8 rows, and u8
-    # pixels are exact either way.
-    nrp = -(-(nr + 8) // 8) * 8
+    # Mosaic only supports dynamic slice starts aligned to the dtype tile —
+    # (16, 128) for bf16 — so slices start at an aligned base and the
+    # sub-tile residual is applied with a dynamic circular rotate; pad so
+    # every aligned window stays in-bounds.  The image pin is bf16 (u8
+    # pixels are bf16-exact): half the VMEM footprint and half the
+    # slice/roll traffic vs f32, at the price of a 16-row alignment granule;
+    # the cropped window upcasts to f32 on store so consumers are unchanged.
+    nrp = -(-(nr + 16) // 16) * 16
     ncp = -(-(nc + 128) // 128) * 128
-    imgp = jnp.pad(img2d.astype(jnp.float32), ((0, nrp), (0, ncp)))
+    imgp = jnp.pad(img2d.astype(jnp.bfloat16), ((0, nrp), (0, ncp)))
 
     def kernel(rc_ref, img_ref, out_ref):
         i = pl.program_id(0)
         for j in range(kb):
             r0 = rc_ref[i * kb + j, 0]
             c0 = rc_ref[i * kb + j, 1]
-            rb = pl.multiple_of((r0 // 8) * 8, 8)
+            rb = pl.multiple_of((r0 // 16) * 16, 16)
             cb = pl.multiple_of((c0 // 128) * 128, 128)
             win = img_ref[pl.ds(rb, nrp), pl.ds(cb, ncp)]
             # rotate the sub-tile residual to the top-left, then crop
+            # (rotates upcast to f32 first: Mosaic has no bf16 sublane
+            # dynamic rotate on v5e — the bf16 win still halves the big
+            # VMEM slice read)
+            win = win.astype(jnp.float32)
             win = pltpu.roll(win, (nrp - (r0 - rb)) % nrp, axis=0)
             win = pltpu.roll(win, (ncp - (c0 - cb)) % ncp, axis=1)
             out_ref[j] = win[:nr, :nc]

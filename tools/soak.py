@@ -1,0 +1,116 @@
+"""Long-sequence soak run: full SLAM on real TPU at production geometry.
+
+Renders an N-frame (default 400) looping sweep through the synthetic
+textured world at EuRoC geometry (480x752, 8 levels, 1000 features),
+drives the full System (threaded mapper + loop closing + vocabulary +
+prefetch pipeline), and reports per-frame timing, tracked fraction, ATE,
+and map health — scale evidence for the role the reference's committed
+MH01 artifacts play (2250-frame run, 176 KFs; BASELINE.md).
+
+Usage: python tools/soak.py [n_frames] [pipe_depth]
+"""
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from collections import deque  # noqa: E402
+
+from orbslam3_tpu.cameras.models import Pinhole  # noqa: E402
+from orbslam3_tpu.oracle.orb_cpu import PyramidParams  # noqa: E402
+from orbslam3_tpu.slam.system import System  # noqa: E402
+from orbslam3_tpu.utils.lie import SE3, so3_exp  # noqa: E402
+from orbslam3_tpu.utils.synth import (  # noqa: E402
+    ate_rmse,
+    stereo_sequence,
+)
+from orbslam3_tpu.vocab.vocabulary import BinaryVocabulary  # noqa: E402
+
+
+def main(n: int = 400, depth: int = 4) -> None:
+    fx = 350.0
+    h, w = 480, 752
+    camera = Pinhole([fx, fx, w / 2, h / 2])
+    baseline = 0.12
+    mbf = fx * baseline
+
+    def loop_pose(k: float) -> SE3:
+        # two laps of a wide sweep with slow vertical bob: revisits the
+        # start twice, exercising place recognition + covisibility reuse
+        s = 2.0 * np.pi * k / (n / 2.0)
+        t = np.array(
+            [2.2 * np.sin(s), 0.05 * np.sin(0.37 * k), 0.35 * (1 - np.cos(s))]
+        )
+        yaw = -0.7 * np.sin(s)
+        return SE3(so3_exp(np.array([0.0, yaw, 0.0])), t)
+
+    t0 = time.time()
+    frames = stereo_sequence(n, camera, baseline, h, w, seed=7, pose_fn=loop_pose)
+    print(f"rendered {n} frames in {time.time()-t0:.1f}s", flush=True)
+
+    sysm = System(camera, mbf, PyramidParams(n_features=1000), sequential=False)
+    descs = [
+        sysm._extract_stereo(frames[k][0], frames[k][1])["desc"]
+        for k in range(0, n, max(n // 6, 1))
+    ]
+    voc = BinaryVocabulary.train(np.concatenate(descs), k=8, depth=3, seed=0)
+    sysm.shutdown()
+    sysm = System(
+        camera, mbf, PyramidParams(n_features=1000),
+        sequential=False, vocabulary=voc,
+    )
+
+    est, gt, times = [], [], []
+    handles = deque(
+        sysm.prefetch_stereo(frames[k][0], frames[k][1])
+        for k in range(min(depth, n))
+    )
+    t_run = time.time()
+    for kf in range(n):
+        t1 = time.perf_counter()
+        if kf + depth < n:
+            handles.append(
+                sysm.prefetch_stereo(frames[kf + depth][0], frames[kf + depth][1])
+            )
+        pose = sysm.track_stereo_prefetched(handles.popleft(), kf / 20.0)
+        dt = (time.perf_counter() - t1) * 1e3
+        if kf >= 10:
+            times.append(dt)
+        if pose is not None:
+            est.append(pose)
+            gt.append(frames[kf][2])
+        if kf % 100 == 99:
+            st = sysm.map_stats()
+            print(
+                f"frame {kf+1}: {sysm.get_tracking_state().name} "
+                f"KFs={st['n_keyframes']} MPs={st['n_map_points']} "
+                f"median {np.median(times):.1f} ms",
+                flush=True,
+            )
+    wall = time.time() - t_run
+    sysm.shutdown()
+    st = sysm.map_stats()
+    rmse = ate_rmse(est, gt) if len(est) >= 2 else float("nan")
+    print(
+        f"SOAK n={n} depth={depth}: tracked {len(est)}/{n}, "
+        f"ATE {rmse*1000:.2f} mm, KFs={st['n_keyframes']} "
+        f"MPs={st['n_map_points']}, median {np.median(times):.2f} ms/frame, "
+        f"p95 {np.percentile(times, 95):.1f} ms, wall {wall:.1f}s "
+        f"({n/wall:.1f} fps)",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main(
+        int(sys.argv[1]) if len(sys.argv) > 1 else 400,
+        int(sys.argv[2]) if len(sys.argv) > 2 else 4,
+    )
