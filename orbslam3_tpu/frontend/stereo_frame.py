@@ -51,29 +51,10 @@ class StereoFrameFeatures(NamedTuple):
     depth: jax.Array    # (K,) f32 — mbf/disparity, -1 if none
 
 
-def _pyramid_concat(pyramid: list[jax.Array]) -> tuple[jax.Array, np.ndarray]:
-    """Levels stacked VERTICALLY into a (sum_h, W0) composite (right-padded
-    with zeros); returns (composite, per-level row offsets).  ~2.7x fewer
-    rows than the zero-padded (L, H0, W0) stack — the strip extraction's
-    one-hot contraction scales with total rows."""
-    w0 = pyramid[0].shape[1]
-    rows = []
-    offsets = np.zeros(len(pyramid), np.int32)
-    y = 0
-    for l, img in enumerate(pyramid):
-        h, w = img.shape
-        offsets[l] = y
-        rows.append(
-            img if w == w0 else jnp.pad(img, ((0, 0), (0, w0 - w)))
-        )
-        y += h
-    return jnp.concatenate(rows, axis=0), offsets
-
-
 def stereo_match(
     feat_l: FrameFeatures,
     feat_r: FrameFeatures,
-    stack_l: tuple,   # (composite (sum_h, W0), per-level row offsets)
+    stack_l: tuple,   # (composite (sum_h, W), per-level (row0, col0) offsets)
     stack_r: tuple,
     level_hw: np.ndarray,       # (L, 2) static per-level (h, w)
     scale_factors: np.ndarray,  # (L,) static
@@ -92,9 +73,19 @@ def stereo_match(
     ur, vr = feat_r.xy[:, 0], feat_r.xy[:, 1]
     oct_l, oct_r = feat_l.octave, feat_r.octave
 
+    # per-keypoint lookups from the tiny (L,) level tables as masked lane
+    # reduces — fancy-indexing (K,) from (L,) lowers to the scalar gather
+    # unit (~10 us each); a single contributor keeps the sums exact
+    n_lvl = scales.shape[0]
+    oh_l = oct_l[:, None] == jnp.arange(n_lvl, dtype=jnp.int32)[None, :]
+    oh_r = oct_r[:, None] == jnp.arange(n_lvl, dtype=jnp.int32)[None, :]
+
+    def lut(onehot, table):
+        return jnp.where(onehot, table[None, :], jnp.zeros_like(table[:1])).sum(axis=1)
+
     # --- candidate masks over the K x K pair grid -------------------------
     row = vl.astype(jnp.int32).astype(jnp.float32)  # trunc(vL), as reference
-    r_r = 2.0 * scales[oct_r]
+    r_r = 2.0 * lut(oh_r, scales)
     row_ok = (row[:, None] >= jnp.floor(vr - r_r)[None, :]) & (
         row[:, None] <= jnp.ceil(vr + r_r)[None, :]
     )
@@ -107,16 +98,22 @@ def stereo_match(
     dist = hamming_matrix(feat_l.desc, feat_r.desc)
     d = jnp.where(pair_ok, dist, BIG)
     best_r = jnp.argmin(d, axis=1).astype(jnp.int32)
-    best_dist = jnp.take_along_axis(d, best_r[:, None], axis=1)[:, 0]
+    best_dist = d.min(axis=1)  # == value at argmin, without a scalar gather
     tentative = best_dist < th_orb
 
     # --- SAD subpixel refinement at the left keypoint's level -------------
-    inv = inv_scales[oct_l]
+    inv = lut(oh_l, inv_scales)
     sul = jnp.round(ul * inv).astype(jnp.int32)
     svl = jnp.round(vl * inv).astype(jnp.int32)
-    ur0 = ur[best_r]
+    # winner pickup as a masked lane reduce (the (K,) fancy-index gather runs
+    # on the scalar unit at ~10 us; one contributor -> the f32 sum is exact)
+    win_oh = (
+        jax.lax.broadcasted_iota(jnp.int32, d.shape, 1) == best_r[:, None]
+    )
+    ur0 = jnp.where(win_oh, ur[None, :], 0.0).sum(axis=1)
     sur0 = jnp.round(ur0 * inv).astype(jnp.int32)
-    lh, lw = h_tab[oct_l], w_tab[oct_l]
+    lh = lut(oh_l, h_tab).astype(jnp.int32)
+    lw = lut(oh_l, w_tab).astype(jnp.int32)
     in_bounds = (
         (svl - SAD_W >= 0) & (svl + SAD_W + 1 <= lh)
         & (sul - SAD_W >= 0) & (sul + SAD_W + 1 <= lw)
@@ -127,45 +124,58 @@ def stereo_match(
     # bit-identical either way).
     from orbslam3_tpu.ops.window_gather import gather_windows
 
-    comp_l, row_off = stack_l
-    comp_r, _ = stack_r
-    w0 = comp_l.shape[1]
+    comp_l, row_off_l, col0_l = stack_l
+    comp_r, row_off_r, col0_r = stack_r
     wl, ww = 2 * SAD_W + 1, 2 * (SAD_L + SAD_W) + 1
     # per-level clips keep every (masked-or-not) window inside its level's
-    # rows of the composite
+    # block of the composite
     cl_svl = jnp.clip(svl - SAD_W, 0, lh - wl)
-    cl_sul = jnp.clip(sul - SAD_W, 0, jnp.minimum(lw, w0) - wl)
-    cl_sur = jnp.clip(sur0 - SAD_L - SAD_W, 0, jnp.minimum(lw, w0) - ww)
-    off = jnp.asarray(row_off)[oct_l]
-    p_l = gather_windows(comp_l, off + cl_svl, cl_sul, wl, wl)  # (K,11,11)
-    p_r = gather_windows(comp_r, off + cl_svl, cl_sur, wl, ww)  # (K,11,21)
-    # SAD in (col, row, K) layout: the (K, 11, 21) form pads its 21-lane
-    # minor dim to 128 (6x dead lanes) and the 11 shifted slices re-read
-    # it; with the slide axis outermost the slices are free views and K
-    # rides the lanes.  Exact: |u8 diffs| sum to integers < 2^24, so f32
-    # reassociation cannot change a bit.
+    cl_sul = jnp.clip(sul - SAD_W, 0, lw - wl)
+    cl_sur = jnp.clip(sur0 - SAD_L - SAD_W, 0, lw - ww)
+    off_l = lut(oh_l, jnp.asarray(row_off_l)).astype(jnp.int32)
+    off_r = lut(oh_l, jnp.asarray(row_off_r)).astype(jnp.int32)
+    p_l = gather_windows(comp_l, off_l + cl_svl, col0_l + cl_sul, wl, wl)
+    p_r = gather_windows(comp_r, off_r + cl_svl, col0_r + cl_sur, wl, ww)
+    # SAD in (slide, row*col, K) layout: K rides the lanes and the 121
+    # window pixels ride the sublanes (the (slide, row, K) 3-D form pads
+    # its 11-sublane middle dim to 16 and emits 11 strided partial reduces
+    # — measured 82 us/frame; this merged form is one contiguous
+    # 128-sublane reduce, ~4x faster).  Exact: |u8 diffs| sum to integers
+    # < 2^24, so f32 reassociation cannot change a bit.
     pl_t = jnp.transpose(p_l, (2, 1, 0))  # (11, 11, K)
     pr_t = jnp.transpose(p_r, (2, 1, 0))  # (21, 11, K)
-    dists = jnp.stack(
+    k_slots = p_l.shape[0]
+    pl2 = pl_t.reshape(wl * wl, k_slots)  # (121, K)
+    # one (231, K) repack of the right strips; slide j's 121 window rows are
+    # then the CONTIGUOUS sublane block [j*11, j*11+121) — free-ish views
+    # instead of 11 slice+reshape copies (measured ~47 us each in-program)
+    pr2 = pr_t.reshape(ww * wl, k_slots)
+    slides = jnp.stack(
         [
-            jnp.abs(pl_t - jax.lax.slice_in_dim(pr_t, j, j + wl, axis=0))
-            .sum(axis=(0, 1))
+            jax.lax.slice_in_dim(pr2, j * wl, j * wl + wl * wl, axis=0)
             for j in range(2 * SAD_L + 1)
-        ],
-        axis=1,
-    )  # (K, 11)
+        ]
+    )  # (11, 121, K)
+    dists = jnp.abs(pl2[None] - slides).sum(axis=1).T  # (K, 11)
     best_j = jnp.argmin(dists, axis=1).astype(jnp.int32)
-    sad = jnp.take_along_axis(dists, best_j[:, None], axis=1)[:, 0]
+    sad = dists.min(axis=1)  # == dists[best_j]
     inc_ok = (best_j > 0) & (best_j < 2 * SAD_L)
     jm = jnp.clip(best_j, 1, 2 * SAD_L - 1)
-    d1 = jnp.take_along_axis(dists, (jm - 1)[:, None], axis=1)[:, 0].astype(jnp.float32)
-    d2 = jnp.take_along_axis(dists, jm[:, None], axis=1)[:, 0].astype(jnp.float32)
-    d3 = jnp.take_along_axis(dists, (jm + 1)[:, None], axis=1)[:, 0].astype(jnp.float32)
+    # neighbor pickup over the tiny slide axis as one-hot lane reduces
+    # (three (K,) take_alongs are three scalar-unit gathers otherwise)
+    jiota = jax.lax.broadcasted_iota(jnp.int32, dists.shape, 1)
+
+    def at_lane(j):
+        return jnp.where(jiota == j[:, None], dists, 0.0).sum(axis=1).astype(jnp.float32)
+
+    d1 = at_lane(jm - 1)
+    d2 = at_lane(jm)
+    d3 = at_lane(jm + 1)
     denom = 2.0 * (d1 + d3 - 2.0 * d2)
     delta = jnp.where(denom != 0, (d1 - d3) / denom, 0.0)
     delta_ok = (delta >= -1.0) & (delta <= 1.0)
 
-    best_ur = scales[oct_l] * (
+    best_ur = lut(oh_l, scales) * (
         sur0.astype(jnp.float32) + (best_j - SAD_L).astype(jnp.float32) + delta
     )
     disparity = ul - best_ur
@@ -217,8 +227,10 @@ def _extract_and_match_stereo_impl(
     pyr_l = build_pyramid(pair[0], params)
     pyr_r = build_pyramid(pair[1], params)
     # BOTH cameras' FAST detection in one composite pass (16 crops, one
-    # Pallas launch + one NMS/retry instead of two of each)
-    from orbslam3_tpu.ops.extractor import detection_crops
+    # Pallas launch + one NMS/retry instead of two of each), then both
+    # cameras' selection/orientation/descriptors through the camera-merged
+    # extraction core (one top_k, one orientation gather, one BRIEF gather)
+    from orbslam3_tpu.ops.extractor import detection_crops, extract_from_pyramids
     from orbslam3_tpu.ops.fast import detect_two_threshold_multi
 
     act_l, crops_l = detection_crops(pyr_l, params)
@@ -226,14 +238,23 @@ def _extract_and_match_stereo_impl(
     score_list = detect_two_threshold_multi(
         crops_l + crops_r, params.ini_th_fast, params.min_th_fast
     )
-    feat_l = extract_from_pyramid(
-        pyr_l, params, dict(zip(act_l, score_list[: len(act_l)]))
+    from orbslam3_tpu.ops.extractor import build_merged_composites
+
+    comps = build_merged_composites([pyr_l, pyr_r])
+    feat_l, feat_r = extract_from_pyramids(
+        [pyr_l, pyr_r],
+        params,
+        [
+            dict(zip(act_l, score_list[: len(act_l)])),
+            dict(zip(act_r, score_list[len(act_l) :])),
+        ],
+        comps=comps,
     )
-    feat_r = extract_from_pyramid(
-        pyr_r, params, dict(zip(act_r, score_list[len(act_l) :]))
-    )
-    stack_l = _pyramid_concat(pyr_l)
-    stack_r = _pyramid_concat(pyr_r)
+    # the SAD refinement reads the same bordered raw composite (interior
+    # offset +pad folds into the per-level offsets)
+    p = comps.pad
+    stack_l = (comps.bordered, np.asarray(comps.y0[0], np.int32) + p, p)
+    stack_r = (comps.bordered, np.asarray(comps.y0[1], np.int32) + p, p)
     level_hw = np.array([lvl.shape for lvl in pyr_l], np.int32)
     u_right, depth = stereo_match(
         feat_l,

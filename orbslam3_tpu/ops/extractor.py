@@ -27,7 +27,62 @@ from orbslam3_tpu.ops.pyramid import build_pyramid, gaussian_blur7_u8
 from orbslam3_tpu.ops.fast import detect_two_threshold, detect_two_threshold_multi
 from orbslam3_tpu.ops.select import select_topk_grid_multi
 from orbslam3_tpu.ops.orientation import ic_angles
-from orbslam3_tpu.ops.brief import brief_descriptors, brief_sampling_image
+from orbslam3_tpu.ops.brief import (
+    BRIEF_PAD,
+    _reflect101_pad,
+    brief_descriptors,
+    brief_sampling_image,
+)
+
+
+class MergedComposites(NamedTuple):
+    """Camera-merged bordered composites shared by orientation, BRIEF and
+    the stereo SAD refinement.
+
+    `bordered` stacks every (camera, level) as a reflect-101 19-px-bordered
+    raw block (right-padded with zeros to a common width); `sampling` is the
+    same layout with the level interiors replaced by their 7x7 sigma=2
+    blur — the reference's descriptor-buffer semantics (each pyramid level
+    lives inside a bordered allocation whose interior alone is blurred,
+    /root/reference/src/ORBextractor.cc:1270-1273 + EDGE_THRESHOLD borders).
+    Building `sampling` as ONE composite blur + a static interior-mask
+    select is bit-identical to per-level blurring (blur radius 3 <= the
+    19-px border band, so no interior output reads across a seam) and
+    replaces 2 x L per-level blur programs + interior update-slices with
+    one fused pass.
+    """
+
+    bordered: jax.Array   # (sum_h, wmax) u8 — raw, 19-px borders per block
+    sampling: jax.Array   # same shape — blurred interiors, raw borders
+    y0: tuple             # y0[cam][level]: block start row
+    pad: int              # border width (== BRIEF_PAD == 19)
+
+
+def build_merged_composites(pyramids: list[list[jax.Array]]) -> MergedComposites:
+    import numpy as _np
+
+    p = BRIEF_PAD
+    wmax = max(img.shape[1] for pyr in pyramids for img in pyr) + 2 * p
+    rows, y0_all = [], []
+    y = 0
+    interior = []
+    for pyr in pyramids:
+        y0s = []
+        for img in pyr:
+            h, w = img.shape
+            blk = _reflect101_pad(img, p)
+            bh, bw = blk.shape
+            rows.append(jnp.pad(blk, ((0, 0), (0, wmax - bw))))
+            y0s.append(y)
+            interior.append((y + p, p, h, w))
+            y += bh
+        y0_all.append(tuple(y0s))
+    bordered = jnp.concatenate(rows, axis=0)
+    mask = _np.zeros(bordered.shape, bool)
+    for (iy, ix, h, w) in interior:
+        mask[iy : iy + h, ix : ix + w] = True
+    sampling = jnp.where(jnp.asarray(mask), gaussian_blur7_u8(bordered), bordered)
+    return MergedComposites(bordered, sampling, tuple(y0_all), p)
 
 
 class FrameFeatures(NamedTuple):
@@ -92,6 +147,135 @@ def extract_from_pyramid(
 
     `scores` (level -> NMS'd score crop) skips detection — the stereo path
     computes both cameras' detections in one composite pass."""
+    return _extract_single(pyramid, params, scores)
+
+
+def extract_from_pyramids(
+    pyramids: list[list[jax.Array]],
+    params: PyramidParams,
+    scores_list: list[dict[int, jax.Array]],
+    comps: MergedComposites | None = None,
+) -> list[FrameFeatures]:
+    """Extraction for SEVERAL cameras' pyramids with shared device work.
+
+    For the standard geometry (every level active at full quota, e.g. the
+    stereo pair) the cameras share ONE batched top-k selection, ONE
+    orientation gather and ONE descriptor gather over camera-stacked
+    composites — halving the per-frame Pallas launch count and einsum
+    dispatches vs per-camera extraction.  Bit-identical to the per-camera
+    path: the batched top_k is row-independent, and composites stack
+    whole cameras vertically (windows never cross a camera seam for the
+    same reason they never cross level seams — the >= 19 px per-level
+    borders).  Falls back to per-camera extraction for irregular
+    geometries."""
+    b = FAST_BORDER
+    quotas = [int(q) for q in params.features_per_level()]
+
+    def flat_info(pyramid, scores):
+        sel_levels = [l for l in range(len(pyramid)) if l in scores]
+        k_effs = [
+            min(quotas[l],
+                (pyramid[l].shape[0] - 2 * b) * (pyramid[l].shape[1] - 2 * b))
+            for l in sel_levels
+        ]
+        flat = sel_levels == list(range(len(pyramid))) and all(
+            ke == quotas[l] for ke, l in zip(k_effs, sel_levels)
+        )
+        return flat, sel_levels, k_effs
+
+    infos = [flat_info(p, s) for p, s in zip(pyramids, scores_list)]
+    if len(pyramids) <= 1 or not all(i[0] for i in infos):
+        return [
+            _extract_single(p, params, s)
+            for p, s in zip(pyramids, scores_list)
+        ]
+
+    scales = params.scale_factors
+    n_cams = len(pyramids)
+    sel_levels = infos[0][1]
+    k_effs = infos[0][2]
+    # ONE batched top_k across every (camera, level) score map
+    all_scores = [
+        scores_list[c][l] for c in range(n_cams) for l in sel_levels
+    ]
+    selections_flat = select_topk_grid_multi(all_scores, k_effs * n_cams)
+    k_cam = sum(k_effs)
+
+    # per-camera slot metadata (host-constant parts shared across cameras)
+    scale_vec = np.repeat(
+        np.asarray([1.0] + [float(s) for s in scales[1:]], np.float32),
+        quotas,
+    )
+    oct_np = np.repeat(np.arange(len(quotas), dtype=np.int32), quotas)
+    size_np = (PATCH_SIZE * scale_vec).astype(np.float32)
+
+    xy_cats, resp_cats, valid_cats, safe_cats = [], [], [], []
+    for c in range(n_cams):
+        sel = selections_flat[c * len(sel_levels) : (c + 1) * len(sel_levels)]
+        xy_cat = jnp.concatenate([s[0] for s in sel]) + b
+        resp_cat = jnp.concatenate([s[1] for s in sel])
+        valid_cat = jnp.concatenate([s[2] for s in sel])
+        xy_cats.append(xy_cat)
+        resp_cats.append(resp_cat)
+        valid_cats.append(valid_cat)
+        safe_cats.append(jnp.where(valid_cat[:, None], xy_cat, b + 3))
+
+    # camera-merged bordered composites shared by orientation + BRIEF (and
+    # reused by the stereo SAD refinement when the caller passes them in)
+    if comps is None:
+        comps = build_merged_composites(pyramids)
+    p = comps.pad
+
+    def _offsets(dx, dy_extra):
+        col = np.concatenate(
+            [
+                np.repeat(np.asarray(comps.y0[c], np.int32), k_effs)
+                for c in range(n_cams)
+            ]
+        )
+        return jnp.asarray(
+            np.stack([np.full_like(col, dx), col + dy_extra], axis=1)
+        )
+
+    xy_all = jnp.concatenate(safe_cats)
+    # orientation reads RAW pixels: gather from the bordered composite with
+    # the +pad interior offset folded in
+    angles_all = ic_angles(comps.bordered, xy_all + _offsets(p, p))
+    # brief_descriptors adds its own BRIEF_PAD (== pad) to both coords, so
+    # it receives block-origin offsets only
+    desc_all = brief_descriptors(
+        comps.sampling, (xy_all + _offsets(0, 0)).astype(jnp.float32), angles_all
+    )
+
+    out = []
+    for c in range(n_cams):
+        v = valid_cats[c]
+        angles = angles_all[c * k_cam : (c + 1) * k_cam]
+        desc = desc_all[c * k_cam : (c + 1) * k_cam]
+        out.append(
+            FrameFeatures(
+                xy=jnp.where(
+                    v[:, None],
+                    xy_cats[c].astype(jnp.float32)
+                    * jnp.asarray(scale_vec)[:, None],
+                    0.0,
+                ),
+                response=jnp.where(v, resp_cats[c].astype(jnp.float32), 0.0),
+                angle=jnp.where(v, angles, 0.0),
+                octave=jnp.asarray(oct_np),
+                size=jnp.asarray(size_np),
+                valid=v,
+                desc=jnp.where(v[:, None], desc, 0),
+            )
+        )
+    return out
+
+
+def _extract_single(
+    pyramid: list[jax.Array],
+    params: PyramidParams,
+    scores: dict[int, jax.Array] | None = None,
+) -> FrameFeatures:
     quotas = [int(q) for q in params.features_per_level()]
     scales = params.scale_factors
     b = FAST_BORDER

@@ -52,17 +52,19 @@ def masked_argmin(dist: jax.Array, valid: jax.Array) -> tuple[jax.Array, jax.Arr
     """Per-row (best index, best distance) with invalid entries pushed to BIG."""
     d = jnp.where(valid, dist, BIG)
     idx = jnp.argmin(d, axis=1).astype(jnp.int32)
-    best = jnp.take_along_axis(d, idx[:, None], axis=1)[:, 0]
-    return idx, best
+    # min == value at argmin; a reduce instead of a scalar-unit gather
+    return idx, d.min(axis=1)
 
 
 def masked_two_best(dist: jax.Array, valid: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Per-row (best idx, best dist, second-best dist) for ratio tests."""
     d = jnp.where(valid, dist, BIG)
     idx = jnp.argmin(d, axis=1).astype(jnp.int32)
-    best = jnp.take_along_axis(d, idx[:, None], axis=1)[:, 0]
-    d2 = d.at[jnp.arange(d.shape[0]), idx].set(BIG)
-    second = d2.min(axis=1)
+    best = d.min(axis=1)
+    # suppress the winner column with a broadcast compare (a per-row scatter
+    # lowers to the slow scalar path on TPU)
+    cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    second = jnp.where(cols == idx[:, None], BIG, d).min(axis=1)
     return idx, best, second
 
 
@@ -97,8 +99,8 @@ def search_by_projection_batch(
     idx, best, second = masked_two_best(dist, valid)
     best_lvl = kp_level[idx]
     # nn-ratio applies only when best and runner-up share the level
-    d2 = jnp.where(valid, dist, BIG)
-    d2 = d2.at[jnp.arange(d2.shape[0]), idx].set(BIG)
+    cols = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+    d2 = jnp.where(valid & (cols != idx[:, None]), dist, BIG)
     idx2 = jnp.argmin(d2, axis=1)
     same_lvl = kp_level[idx2] == best_lvl
     ratio_ok = ~same_lvl | (best.astype(jnp.float32) <= ratio * second.astype(jnp.float32))

