@@ -81,7 +81,11 @@ def build_merged_composites(pyramids: list[list[jax.Array]]) -> MergedComposites
     mask = _np.zeros(bordered.shape, bool)
     for (iy, ix, h, w) in interior:
         mask[iy : iy + h, ix : ix + w] = True
-    sampling = jnp.where(jnp.asarray(mask), gaussian_blur7_u8(bordered), bordered)
+    # zero-pad blur: every surviving (interior) output sits >= 19 px from
+    # the composite edge, so the 3-px pad values are never consumed
+    sampling = jnp.where(
+        jnp.asarray(mask), gaussian_blur7_u8(bordered, reflect=False), bordered
+    )
     return MergedComposites(bordered, sampling, tuple(y0_all), p)
 
 

@@ -60,6 +60,28 @@ def _resize_mats(sh: int, sw: int, dh: int, dw: int):
     return mx_hi, mx_lo, s0, s1, by0.astype(np.int32), by1.astype(np.int32)
 
 
+def _rows_hi_lo(rows: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Byte-split of the horizontal-pass accumulator, all-f32 (exact: rows
+    holds integers <= 522240 < 2^24; floor-scalings by powers of two are
+    exact f32 ops, and int32 multiplies run multi-pass on the VPU)."""
+    rows4 = jnp.floor(rows * jnp.float32(1 / 16.0))  # == rows >> 4, <= 32640
+    hi = jnp.floor(rows4 * jnp.float32(1 / 256.0))
+    lo = rows4 - 256.0 * hi
+    return hi.astype(jnp.bfloat16), lo.astype(jnp.bfloat16)
+
+
+def _vertical_term(by: jax.Array, h: jax.Array, l: jax.Array) -> jax.Array:
+    """floor((by * (256*h + l)) / 2^16) in exact f32.
+
+    by <= 2048, h <= 127, l <= 255: with r = 256*h + l,
+    (by*r) >> 16 == (by*h + ((by*l) >> 8)) >> 8 — every intermediate is an
+    integer < 2^24 (by*l <= 522240, by*h <= 260096), so f32 products and
+    floor-scalings reproduce the int32 chain bit-exactly.
+    """
+    b1 = jnp.floor(by * l * jnp.float32(1 / 256.0))
+    return jnp.floor((by * h + b1) * jnp.float32(1 / 256.0))
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def resize_linear_u8(src: jax.Array, dh: int, dw: int) -> jax.Array:
     """Bit-exact cv2 INTER_LINEAR 8u resize (11-bit taps, 22-bit accumulator)."""
@@ -68,23 +90,22 @@ def resize_linear_u8(src: jax.Array, dh: int, dw: int) -> jax.Array:
     srcb = src.astype(jnp.bfloat16)  # pixels <= 255 are bf16-exact
     rows = jnp.dot(srcb, jnp.asarray(mx_hi), preferred_element_type=jnp.float32)
     rows = rows + jnp.dot(srcb, jnp.asarray(mx_lo), preferred_element_type=jnp.float32)
-    rows4 = rows.astype(jnp.int32) >> 4  # <= 32640 (15 bits)
-    # split into two bf16-exact bytes for the one-hot row selections
-    hi = (rows4 >> 8).astype(jnp.bfloat16)
-    lo = (rows4 & 255).astype(jnp.bfloat16)
+    hi, lo = _rows_hi_lo(rows)
 
     def select(sel):
         sel = jnp.asarray(sel)
         return (
-            jnp.dot(sel, hi, preferred_element_type=jnp.float32) * 256.0
-            + jnp.dot(sel, lo, preferred_element_type=jnp.float32)
-        ).astype(jnp.int32)
+            jnp.dot(sel, hi, preferred_element_type=jnp.float32),
+            jnp.dot(sel, lo, preferred_element_type=jnp.float32),
+        )
 
-    r0 = select(s0)
-    r1 = select(s1)
-    by0 = jnp.asarray(by0)[:, None]
-    by1 = jnp.asarray(by1)[:, None]
-    out = (((by0 * r0) >> 16) + ((by1 * r1) >> 16) + 2) >> 2
+    h0, l0 = select(s0)
+    h1, l1 = select(s1)
+    by0 = jnp.asarray(by0, jnp.float32)[:, None]
+    by1 = jnp.asarray(by1, jnp.float32)[:, None]
+    out = jnp.floor(
+        (_vertical_term(by0, h0, l0) + _vertical_term(by1, h1, l1) + 2.0) * 0.25
+    )
     return jnp.clip(out, 0, 255).astype(jnp.uint8)
 
 
@@ -98,15 +119,33 @@ def _reflect101_pad3(img: jax.Array) -> jax.Array:
     return jnp.concatenate([left, v, right], axis=1)
 
 
-@jax.jit
-def gaussian_blur7_u8(img: jax.Array) -> jax.Array:
-    """Separable 7-tap sigma=2 fixed-point blur, bit-exact vs the oracle."""
+@functools.partial(jax.jit, static_argnums=(1,))
+def gaussian_blur7_u8(img: jax.Array, reflect: bool = True) -> jax.Array:
+    """Separable 7-tap sigma=2 fixed-point blur, bit-exact vs the oracle.
+
+    Computed in f32 FMAs (int32 multiplies run multi-pass on the VPU,
+    measured ~2x slower): taps are non-negative 16-bit ints summing to
+    65536 and pixels are u8, so every partial sum is an integer
+    <= 255*65536 < 2^24 — exactly representable in f32 in any association
+    order; the `(x + HALF) >> 16` rounding is floor((x + HALF) * 2^-16),
+    exact for the same reason.  Bit-identical to the integer oracle.
+
+    `reflect=False` zero-pads instead of reflect-101 — valid ONLY when the
+    caller never consumes outputs within 3 px of the image edge (the merged
+    bordered composite masks those out); reflect-101 on TPU emits
+    pathological narrow-array `rev` ops worth ~26 us/frame.
+    """
     h, w = img.shape
-    pad = _reflect101_pad3(img.astype(jnp.int32))
-    hp = sum(_BLUR_K[i] * pad[:, i : i + w] for i in range(7))
-    hp = (hp + _BLUR_HALF) >> 16
-    vp = sum(_BLUR_K[i] * hp[i : i + h, :] for i in range(7))
-    out = (vp + _BLUR_HALF) >> 16
+    if reflect:
+        pad = _reflect101_pad3(img.astype(jnp.float32))
+    else:
+        pad = jnp.pad(img, 3).astype(jnp.float32)
+    inv16 = jnp.float32(1.0 / 65536.0)
+    half = jnp.float32(_BLUR_HALF)
+    hp = sum(jnp.float32(_BLUR_K[i]) * pad[:, i : i + w] for i in range(7))
+    hp = jnp.floor((hp + half) * inv16)
+    vp = sum(jnp.float32(_BLUR_K[i]) * hp[i : i + h, :] for i in range(7))
+    out = jnp.floor((vp + half) * inv16)
     return jnp.clip(out, 0, 255).astype(jnp.uint8)
 
 
@@ -160,9 +199,7 @@ def build_pyramid(image: jax.Array, params: PyramidParams) -> list[jax.Array]:
     srcb = image.astype(jnp.bfloat16)
     rows = jnp.dot(srcb, jnp.asarray(mx_hi), preferred_element_type=jnp.float32)
     rows = rows + jnp.dot(srcb, jnp.asarray(mx_lo), preferred_element_type=jnp.float32)
-    rows4 = rows.astype(jnp.int32) >> 4        # (sh, sum_w)
-    hi = (rows4 >> 8).astype(jnp.bfloat16)
-    lo = (rows4 & 255).astype(jnp.bfloat16)
+    hi, lo = _rows_hi_lo(rows)                 # (sh, sum_w) bf16 bytes
 
     levels = [image]
     y = x = 0
@@ -174,15 +211,18 @@ def build_pyramid(image: jax.Array, params: PyramidParams) -> list[jax.Array]:
 
         def select(sel):
             return (
-                jnp.dot(sel, hi_l, preferred_element_type=jnp.float32) * 256.0
-                + jnp.dot(sel, lo_l, preferred_element_type=jnp.float32)
-            ).astype(jnp.int32)
+                jnp.dot(sel, hi_l, preferred_element_type=jnp.float32),
+                jnp.dot(sel, lo_l, preferred_element_type=jnp.float32),
+            )
 
-        r0 = select(s0)
-        r1 = select(s1)
-        by0 = jnp.asarray(by0c[y : y + dh])
-        by1 = jnp.asarray(by1c[y : y + dh])
-        out = (((by0 * r0) >> 16) + ((by1 * r1) >> 16) + 2) >> 2
+        h0, l0 = select(s0)
+        h1, l1 = select(s1)
+        by0 = jnp.asarray(by0c[y : y + dh], jnp.float32)
+        by1 = jnp.asarray(by1c[y : y + dh], jnp.float32)
+        out = jnp.floor(
+            (_vertical_term(by0, h0, l0) + _vertical_term(by1, h1, l1) + 2.0)
+            * 0.25
+        )
         levels.append(jnp.clip(out, 0, 255).astype(jnp.uint8))
         y += dh
         x += dw

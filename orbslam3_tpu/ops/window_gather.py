@@ -100,7 +100,11 @@ def _gather_windows_pallas(
     # the cropped window upcasts to f32 on store so consumers are unchanged.
     nrp = -(-(nr + 16) // 16) * 16
     ncp = -(-(nc + 128) // 128) * 128
-    imgp = jnp.pad(img2d.astype(jnp.bfloat16), ((0, nrp), (0, ncp)))
+    # canonical pad extents (covering any window <= 48x128): all gathers of
+    # the same composite then share ONE padded/bf16 array via CSE instead of
+    # re-padding ~10 MB per distinct window shape
+    assert nrp <= 64 and ncp <= 256, (nr, nc)
+    imgp = jnp.pad(img2d.astype(jnp.bfloat16), ((0, 64), (0, 256)))
 
     def kernel(rc_ref, img_ref, out_ref):
         i = pl.program_id(0)
