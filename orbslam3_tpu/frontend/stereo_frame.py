@@ -156,7 +156,9 @@ def stereo_match(
             for j in range(2 * SAD_L + 1)
         ]
     )  # (11, 121, K)
-    dists = jnp.abs(pl2[None] - slides).sum(axis=1).T  # (K, 11)
+    # gathers arrive bf16 (u8-exact); diffs stay integer-exact in bf16 and
+    # the reduction accumulates in f32 (sums < 2^15) — bit-identical
+    dists = jnp.abs(pl2[None] - slides).sum(axis=1, dtype=jnp.float32).T  # (K, 11)
     best_j = jnp.argmin(dists, axis=1).astype(jnp.int32)
     sad = dists.min(axis=1)  # == dists[best_j]
     inc_ok = (best_j > 0) & (best_j < 2 * SAD_L)

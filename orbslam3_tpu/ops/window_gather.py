@@ -114,14 +114,17 @@ def _gather_windows_pallas(
             rb = pl.multiple_of((r0 // 16) * 16, 16)
             cb = pl.multiple_of((c0 // 128) * 128, 128)
             win = img_ref[pl.ds(rb, nrp), pl.ds(cb, ncp)]
-            # rotate the sub-tile residual to the top-left, then crop
-            # (rotates upcast to f32 first: Mosaic has no bf16 sublane
-            # dynamic rotate on v5e — the bf16 win still halves the big
-            # VMEM slice read)
-            win = win.astype(jnp.float32)
+            # rotate the sub-tile residuals to the top-left, then crop.
+            # Mosaic rotates only 32-bit data, so the lane rotate runs on
+            # the bf16 slice BITCAST to i32 (sublane-packed pairs — a lane
+            # rotate is row-independent, so it commutes with any row
+            # packing) at half the vregs of rotating in f32; the row
+            # rotate detours through f32 (no bf16 sublane rotate on v5e).
+            wp = pltpu.bitcast(win, jnp.int32)
+            wp = pltpu.roll(wp, (ncp - (c0 - cb)) % ncp, axis=1)
+            win = pltpu.bitcast(wp[:, :128], jnp.bfloat16).astype(jnp.float32)
             win = pltpu.roll(win, (nrp - (r0 - rb)) % nrp, axis=0)
-            win = pltpu.roll(win, (ncp - (c0 - cb)) % ncp, axis=1)
-            out_ref[j] = win[:nr, :nc]
+            out_ref[j] = win[:nr, :nc].astype(jnp.bfloat16)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -131,10 +134,14 @@ def _gather_windows_pallas(
             (kb, nr, nc), lambda i, rc: (i, 0, 0), memory_space=pltpu.VMEM
         ),
     )
+    # bf16 output: the kernel is bound by its (K, nr, nc) result write
+    # (~38 MB/frame in f32 across the four gathers); pixels are u8-valued
+    # so bf16 is exact, and every consumer either computes in bf16 already
+    # (orientation/BRIEF einsums) or upcasts before reducing (stereo SAD).
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((kp, nr, nc), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((kp, nr, nc), jnp.bfloat16),
         interpret=interpret,
     )(rc, imgp)
     return out[:k]
@@ -172,9 +179,13 @@ def _window_moments_pallas(
         axis=1,
     )
     rc = jnp.pad(rc, ((0, kp - k), (0, 0)))
-    nrp = -(-(nr + 8) // 8) * 8
+    # same pin as _gather_windows_pallas (bf16, canonical (64, 256) pad,
+    # 16-row slice granule) so the two kernels' image inputs CSE into ONE
+    # padded array — enabling the fused-moments path costs no extra pin
+    nrp = -(-(nr + 16) // 16) * 16
     ncp = -(-(nc + 128) // 128) * 128
-    imgp = jnp.pad(img2d.astype(jnp.float32), ((0, nrp), (0, ncp)))
+    assert nrp <= 64 and ncp <= 256, (nr, nc)
+    imgp = jnp.pad(img2d.astype(jnp.bfloat16), ((0, 64), (0, 256)))
 
     def kernel(rc_ref, img_ref, w_ref, out_ref):
         i = pl.program_id(0)
@@ -182,11 +193,13 @@ def _window_moments_pallas(
         for j in range(kb):
             r0 = rc_ref[i * kb + j, 0]
             c0 = rc_ref[i * kb + j, 1]
-            rb = pl.multiple_of((r0 // 8) * 8, 8)
+            rb = pl.multiple_of((r0 // 16) * 16, 16)
             cb = pl.multiple_of((c0 // 128) * 128, 128)
             win = img_ref[pl.ds(rb, nrp), pl.ds(cb, ncp)]
+            wp = pltpu.bitcast(win, jnp.int32)
+            wp = pltpu.roll(wp, (ncp - (c0 - cb)) % ncp, axis=1)
+            win = pltpu.bitcast(wp[:, :128], jnp.bfloat16).astype(jnp.float32)
             win = pltpu.roll(win, (nrp - (r0 - rb)) % nrp, axis=0)
-            win = pltpu.roll(win, (ncp - (c0 - cb)) % ncp, axis=1)
             m10 = jnp.sum(win * w_ref[0])
             m01 = jnp.sum(win * w_ref[1])
             out_ref[j] = jnp.where(lane == 0, m10, jnp.where(lane == 1, m01, 0.0))[0]
@@ -224,9 +237,8 @@ def window_moments(
     bit-identical (integer sums < 2^24 are exact in f32 either way)."""
     nr, nc = w10.shape
     if _PALLAS_MOMENTS and _use_pallas():
-        nrp = -(-(nr + 8) // 8) * 8
-        ncp = -(-(nc + 128) // 128) * 128
-        wp = np.zeros((2, nrp, ncp), np.float32)
+        nrp = -(-(nr + 16) // 16) * 16
+        wp = np.zeros((2, nrp, 128), np.float32)
         wp[0, :nr, :nc] = w10
         wp[1, :nr, :nc] = w01
         out = _window_moments_pallas(img2d, row0, col0, jnp.asarray(wp), nr, nc)
@@ -359,10 +371,12 @@ def sample_windows(
 def gather_windows(
     img2d: jax.Array, row0: jax.Array, col0: jax.Array, nr: int, nc: int
 ) -> jax.Array:
-    """(K, nr, nc) f32 windows; window k = img2d[row0[k]:+nr, col0[k]:+nc].
+    """(K, nr, nc) bf16 windows; window k = img2d[row0[k]:+nr, col0[k]:+nc].
 
     Starts are clamped into bounds (callers guarantee real windows are
-    in-bounds; clamping only normalises masked/invalid slots).
+    in-bounds; clamping only normalises masked/invalid slots).  bf16 is
+    exact for the u8-valued pixels; consumers upcast before any reduction
+    that can exceed bf16's integer range.
     """
     if _use_pallas():
         return _gather_windows_pallas(img2d, row0, col0, nr, nc)
@@ -371,4 +385,4 @@ def gather_windows(
     h, w = img2d.shape
     r = jnp.clip(row0.astype(jnp.int32), 0, h - nr)
     c = jnp.clip(col0.astype(jnp.int32), 0, w - nc)
-    return extract_row_strips(img2d, r, c, nr, nc)
+    return extract_row_strips(img2d, r, c, nr, nc).astype(jnp.bfloat16)

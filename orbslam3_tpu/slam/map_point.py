@@ -368,12 +368,14 @@ def refresh_points(mps, descriptors: bool = True) -> None:
             best = med.argmin(axis=1)
             choice = block[np.arange(g_count), best]
             hit = counts > 0
-        for g, mp in enumerate(mps):
-            if hit[g]:
-                mp.descriptor = choice[g].copy()
-                sync = getattr(mp, "_sync_desc", None)  # duck-typed stand-ins
-                if sync is not None:
-                    sync()
+        hitg = np.nonzero(hit)[0]
+        chosen = choice[hitg].copy()  # one contiguous block; rows are views
+        for j, g in enumerate(hitg):
+            mp = mps[g]
+            mp.descriptor = chosen[j]
+            sync = getattr(mp, "_sync_desc", None)  # duck-typed stand-ins
+            if sync is not None:
+                sync()
 
     # --- normals + scale-invariance depth range --------------------------
     if len(ogrp) == 0:
@@ -393,20 +395,67 @@ def refresh_points(mps, descriptors: bool = True) -> None:
     normal = sums / np.maximum(cnt, 1)[:, None]
     nn = np.sqrt((normal * normal).sum(axis=1))
     normal = np.where(nn[:, None] > 1e-9, normal / np.maximum(nn, 1e-30)[:, None], normal)
+    # --- reference-KF depth range, batched -------------------------------
+    # The per-point loop's cost was ~10 small NumPy calls per landmark
+    # (subtract/dot/sqrt against ref centers + per-KF octave lookups);
+    # gather the ref observation row per group from the flattened arrays
+    # and evaluate the whole batch at once, grouping the octave gathers by
+    # distinct reference KF.
+    kf_of = {id(kf): i for i, kf in enumerate(kfs)}
+    ref_ki = np.full(g_count, -1, np.int64)
+    todo = []
     for g, mp in enumerate(mps):
         ref = mp.ref_kf
         if ref is None or cnt[g] == 0:
             continue
-        mp.normal = normal[g]
-        left, right = mp.observations.get(ref, (-1, -1))
-        idx = left if left >= 0 else right
-        if idx < 0:
-            idx = 0
-        d = mp.position - ref.camera_center()
-        dist_r = math.sqrt(float(d @ d))
-        level = int(ref.octave[idx]) if idx < ref.n else 0
-        mp.max_distance = dist_r * ref.scale_factors[level]
-        mp.min_distance = mp.max_distance / ref.scale_factors[ref.n_levels - 1]
+        ki = kf_of.get(id(ref), -1)
+        if ki < 0:  # ref not among the observed KFs (rare): per-point path
+            mp.update_normal_and_depth()
+            continue
+        ref_ki[g] = ki
+        todo.append(g)
+    if not todo:
+        return
+    todo = np.asarray(todo, np.int64)
+    # the (group, ref-KF) observation row, if present (at most one per pair)
+    is_ref = kfi == ref_ki[grp]
+    ref_row = np.full(g_count, -1, np.int64)
+    ref_row[grp[is_ref]] = np.nonzero(is_ref)[0]
+    rr = ref_row[todo]
+    has = rr >= 0
+    idxs = np.zeros(len(todo), np.int64)
+    li, ri = left[rr[has]], right[rr[has]]
+    # per-point semantics: left if >=0 else right; if both -1 -> 0
+    idxs[has] = np.maximum(np.where(li >= 0, li, ri), 0)
+    rki = ref_ki[todo]
+    ref_centers = np.zeros((len(kfs), 3))
+    for ui in np.unique(rki):
+        ref_centers[ui] = kfs[ui].camera_center()
+    d = pos[todo] - ref_centers[rki]
+    dist_r = np.sqrt((d * d).sum(axis=1))
+    maxd = np.empty(len(todo))
+    mind = np.empty(len(todo))
+    order = np.argsort(rki, kind="stable")
+    bounds = np.r_[0, np.nonzero(np.diff(rki[order]))[0] + 1, len(order)]
+    for b0, b1 in zip(bounds[:-1], bounds[1:]):
+        sel = order[b0:b1]
+        ref = kfs[int(rki[sel[0]])]
+        ii = idxs[sel]
+        sf = np.asarray(ref.scale_factors)
+        if ref.n > 0:
+            lv = np.where(
+                ii < ref.n, np.asarray(ref.octave)[np.minimum(ii, ref.n - 1)], 0
+            )
+        else:
+            lv = np.zeros(len(ii), np.int64)
+        maxd[sel] = dist_r[sel] * sf[lv]
+        mind[sel] = maxd[sel] / sf[ref.n_levels - 1]
+    norm_rows = normal[todo].copy()  # contiguous; rows become mp.normal views
+    for j, g in enumerate(todo):
+        mp = mps[g]
+        mp.normal = norm_rows[j]
+        mp.max_distance = float(maxd[j])
+        mp.min_distance = float(mind[j])
         sync = getattr(mp, "_sync_geom", None)  # duck-typed stand-ins
         if sync is not None:
             sync()
