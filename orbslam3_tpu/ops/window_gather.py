@@ -55,7 +55,8 @@ _PALLAS_MOMENTS = os.environ.get("ORBSLAM3_TPU_PALLAS_MOMENTS", "0") == "1"
 
 # keypoints copied per grid step; sized so the out block (KB, nr, nc) keeps
 # Mosaic's relayout work per step small while amortising step overhead
-_KB = 8
+# (measured on v5e at K=2000/(37,128): kb=8 94 us, kb=16 86 us, kb=32 worse)
+_KB = 16
 
 
 def _use_pallas() -> bool:
