@@ -220,8 +220,8 @@ def pallas_parity_checks(jax) -> dict:
 
     w10, w01 = ic_moment_weights()
     nr = nc = w10.shape[0]
-    nrp, ncp = -(-(nr + 8) // 8) * 8, -(-(nc + 128) // 128) * 128
-    wp = np.zeros((2, nrp, ncp), np.float32)
+    nrp = -(-(nr + 16) // 16) * 16
+    wp = np.zeros((2, nrp, 128), np.float32)
     wp[0, :nr, :nc] = w10
     wp[1, :nr, :nc] = w01
     got_m = np.asarray(

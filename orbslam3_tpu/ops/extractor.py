@@ -39,50 +39,87 @@ class MergedComposites(NamedTuple):
     """Camera-merged bordered composites shared by orientation, BRIEF and
     the stereo SAD refinement.
 
-    `bordered` stacks every (camera, level) as a reflect-101 19-px-bordered
-    raw block (right-padded with zeros to a common width); `sampling` is the
+    `bordered` stacks every (camera, level) as a reflect-101 bordered raw
+    block (right-padded with zeros to a common width); `sampling` is the
     same layout with the level interiors replaced by their 7x7 sigma=2
     blur — the reference's descriptor-buffer semantics (each pyramid level
     lives inside a bordered allocation whose interior alone is blurred,
     /root/reference/src/ORBextractor.cc:1270-1273 + EDGE_THRESHOLD borders).
     Building `sampling` as ONE composite blur + a static interior-mask
     select is bit-identical to per-level blurring (blur radius 3 <= the
-    19-px border band, so no interior output reads across a seam) and
-    replaces 2 x L per-level blur programs + interior update-slices with
-    one fused pass.
+    border band, so no interior output reads across a seam) and replaces
+    2 x L per-level blur programs + interior update-slices with one fused
+    pass.
+
+    The band is 4 px, not the reference's EDGE_THRESHOLD=19: the only
+    consumers of border pixels are BRIEF's rotated-pattern overhang
+    (reach 18 from keypoints that sit >= 16 px inside the level -> <= 2 px
+    out) and the blur's 3-px halo; orientation (radius 15) and the SAD
+    windows (in_bounds-gated) never leave the interior.  Reflect-101 of
+    any band >= 3 yields the same consumed values as the reference's
+    19-px allocation, and the composite shrinks ~15% (blur + select +
+    gather-pin work scale with area).
     """
 
-    bordered: jax.Array   # (sum_h, wmax) u8 — raw, 19-px borders per block
+    bordered: jax.Array   # (sum_h, wmax) u8 — raw, `pad`-px borders per block
     sampling: jax.Array   # same shape — blurred interiors, raw borders
     y0: tuple             # y0[cam][level]: block start row
-    pad: int              # border width (== BRIEF_PAD == 19)
+    pad: int              # border band width (>= 3; see class docstring)
+
+
+COMPOSITE_BAND = 4
 
 
 def build_merged_composites(pyramids: list[list[jax.Array]]) -> MergedComposites:
     import numpy as _np
 
-    p = BRIEF_PAD
-    wmax = max(img.shape[1] for pyr in pyramids for img in pyr) + 2 * p
-    rows, y0_all = [], []
+    p = COMPOSITE_BAND
+    blocks = [img for pyr in pyramids for img in pyr]
+    wmax = max(img.shape[1] for img in blocks) + 2 * p
+    # Reflect borders for ALL blocks ride ONE stacked reverse per side
+    # (narrow per-block revs are op-overhead bound: 2L row revs + 2L lane
+    # revs collapse to 4 ops).  Columns first, rows second — reflect-101
+    # is separable, so the corner pixels come out identical to per-block
+    # cv2-style padding.
+    lefts = jnp.concatenate([img[:, 1 : 1 + p] for img in blocks])[:, ::-1]
+    rights = jnp.concatenate(
+        [img[:, img.shape[1] - 1 - p : img.shape[1] - 1] for img in blocks]
+    )[:, ::-1]
+    cv = []
+    y = 0
+    for img in blocks:
+        h, w = img.shape
+        pieces = [lefts[y : y + h], img, rights[y : y + h]]
+        if wmax - w - 2 * p:
+            pieces.append(jnp.zeros((h, wmax - w - 2 * p), img.dtype))
+        cv.append(jnp.concatenate(pieces, axis=1))
+        y += h
+    # stacking the strips in REVERSED block order makes the single global
+    # [::-1] both flip each strip's rows (the reflect) and restore block
+    # order: rev(concat([T_n.., T_0])) == concat([rev(T_0), .., rev(T_n)])
+    tops = jnp.concatenate([v[1 : 1 + p] for v in reversed(cv)])[::-1]
+    bots = jnp.concatenate(
+        [v[v.shape[0] - 1 - p : v.shape[0] - 1] for v in reversed(cv)]
+    )[::-1]
+    rows, y0_flat = [], []
     y = 0
     interior = []
+    for b, (img, v) in enumerate(zip(blocks, cv)):
+        h, w = img.shape
+        rows += [tops[b * p : (b + 1) * p], v, bots[b * p : (b + 1) * p]]
+        y0_flat.append(y)
+        interior.append((y + p, p, h, w))
+        y += h + 2 * p
+    y0_all, i = [], 0
     for pyr in pyramids:
-        y0s = []
-        for img in pyr:
-            h, w = img.shape
-            blk = _reflect101_pad(img, p)
-            bh, bw = blk.shape
-            rows.append(jnp.pad(blk, ((0, 0), (0, wmax - bw))))
-            y0s.append(y)
-            interior.append((y + p, p, h, w))
-            y += bh
-        y0_all.append(tuple(y0s))
+        y0_all.append(tuple(y0_flat[i : i + len(pyr)]))
+        i += len(pyr)
     bordered = jnp.concatenate(rows, axis=0)
     mask = _np.zeros(bordered.shape, bool)
     for (iy, ix, h, w) in interior:
         mask[iy : iy + h, ix : ix + w] = True
-    # zero-pad blur: every surviving (interior) output sits >= 19 px from
-    # the composite edge, so the 3-px pad values are never consumed
+    # zero-pad blur: every surviving (interior) output sits >= `p` (>= 4) px
+    # from the composite edge, so the 3-px pad values are never consumed
     sampling = jnp.where(
         jnp.asarray(mask), gaussian_blur7_u8(bordered, reflect=False), bordered
     )
@@ -245,10 +282,13 @@ def extract_from_pyramids(
     # orientation reads RAW pixels: gather from the bordered composite with
     # the +pad interior offset folded in
     angles_all = ic_angles(comps.bordered, xy_all + _offsets(p, p))
-    # brief_descriptors adds its own BRIEF_PAD (== pad) to both coords, so
-    # it receives block-origin offsets only
+    # brief_descriptors adds BRIEF_PAD (19) to both coords internally;
+    # offset by (pad - 19) so the net shift lands on the composite's
+    # interior origin whatever the band width
     desc_all = brief_descriptors(
-        comps.sampling, (xy_all + _offsets(0, 0)).astype(jnp.float32), angles_all
+        comps.sampling,
+        (xy_all + _offsets(p - BRIEF_PAD, p - BRIEF_PAD)).astype(jnp.float32),
+        angles_all,
     )
 
     out = []
