@@ -245,11 +245,11 @@ def window_moments(
         out = _window_moments_pallas(img2d, row0, col0, jnp.asarray(wp), nr, nc)
         return out[:, 0], out[:, 1]
     patches = gather_windows(img2d, row0, col0, nr, nc).astype(jnp.bfloat16)
-    w10b = jnp.asarray(w10, jnp.bfloat16)
-    w01b = jnp.asarray(w01, jnp.bfloat16)
-    m10 = jnp.einsum("kpq,pq->k", patches, w10b, preferred_element_type=jnp.float32)
-    m01 = jnp.einsum("kpq,pq->k", patches, w01b, preferred_element_type=jnp.float32)
-    return m10, m01
+    # both moments in ONE einsum: the (K, nr, nc) patch read (the dominant
+    # cost, ~40 us/frame at EuRoC scale) happens once instead of twice
+    wb = jnp.asarray(np.stack([w10, w01]), jnp.bfloat16)
+    m = jnp.einsum("kpq,wpq->kw", patches, wb, preferred_element_type=jnp.float32)
+    return m[:, 0], m[:, 1]
 
 
 @functools.partial(jax.jit, static_argnums=(5, 6, 7))
