@@ -127,3 +127,39 @@ def test_select_multi_matches_single(test_image):
         np.testing.assert_array_equal(np.asarray(xy), np.asarray(xy_m))
         np.testing.assert_array_equal(np.asarray(r), np.asarray(r_m))
         np.testing.assert_array_equal(np.asarray(v), np.asarray(v_m))
+
+
+def test_merged_composite_matches_per_block_reflect():
+    """The consolidated assembly (stacked strip reverses, 4-px band) is
+    bit-identical to per-block reflect-101 padding at mixed block sizes."""
+    import jax.numpy as jnp
+
+    from orbslam3_tpu.ops.brief import _reflect101_pad
+    from orbslam3_tpu.ops.extractor import build_merged_composites
+
+    rng = np.random.default_rng(3)
+    pyrs = [
+        [
+            jnp.asarray(rng.integers(0, 256, (h, w), np.uint8))
+            for (h, w) in ((48, 64), (40, 53), (33, 44))
+        ]
+        for _ in range(2)
+    ]
+    comps = build_merged_composites(pyrs)
+    p = comps.pad
+    wmax = max(img.shape[1] for pyr in pyrs for img in pyr) + 2 * p
+    exp_rows = []
+    for pyr in pyrs:
+        for img in pyr:
+            blk = np.asarray(_reflect101_pad(img, p))
+            exp_rows.append(np.pad(blk, ((0, 0), (0, wmax - blk.shape[1]))))
+    exp = np.concatenate(exp_rows, axis=0)
+    got = np.asarray(comps.bordered)
+    assert got.shape == exp.shape
+    assert np.array_equal(got, exp)
+    # y0 bookkeeping: each block's interior starts `pad` rows into its cell
+    y = 0
+    for cam, pyr in enumerate(pyrs):
+        for lvl, img in enumerate(pyr):
+            assert comps.y0[cam][lvl] == y
+            y += img.shape[0] + 2 * p
