@@ -246,6 +246,19 @@ def pallas_parity_checks(jax) -> dict:
         fast_mod._PALLAS_ENV = prev
     results["fast_score_exact"] = bool(np.array_equal(got_f, want_f))
 
+    # masked FAST score (per-level interior mask folded into the store)
+    mask_f = np.zeros(img_u8.shape, bool)
+    mask_f[3:-3, 3:-3] = True
+    mask_f[:, 200:230] = False  # fake level seam
+    mask_f[100:140, :] = False
+    got_fm = np.asarray(
+        fast_mod._raw_score_pallas(
+            img_u8, interpret=not on_tpu, mask_np=mask_f
+        )
+    )
+    want_fm = np.where(mask_f, want_f, 0)
+    results["fast_score_masked_exact"] = bool(np.array_equal(got_fm, want_fm))
+
     # fused detection (score+mask+retry+NMS one-kernel path) vs the XLA
     # composition — the whole per-composite pipeline, bit-exact.  Composite
     # dims must be TILE multiples (as the extractor's shelf packing
@@ -280,6 +293,7 @@ def pallas_parity_checks(jax) -> dict:
         and results["sample_windows_exact"]
         and results["window_moments_exact"]
         and results["fast_score_exact"]
+        and results["fast_score_masked_exact"]
         and results["fused_detect_exact"]
     )
     return results

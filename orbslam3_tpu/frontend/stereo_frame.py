@@ -134,8 +134,10 @@ def stereo_match(
     cl_sur = jnp.clip(sur0 - SAD_L - SAD_W, 0, lw - ww)
     off_l = lut(oh_l, jnp.asarray(row_off_l)).astype(jnp.int32)
     off_r = lut(oh_l, jnp.asarray(row_off_r)).astype(jnp.int32)
-    p_l = gather_windows(comp_l, off_l + cl_svl, col0_l + cl_sul, wl, wl)
-    p_r = gather_windows(comp_r, off_r + cl_svl, col0_r + cl_sur, wl, ww)
+    coff_l = lut(oh_l, jnp.asarray(np.broadcast_to(col0_l, (n_lvl,)))).astype(jnp.int32)
+    coff_r = lut(oh_l, jnp.asarray(np.broadcast_to(col0_r, (n_lvl,)))).astype(jnp.int32)
+    p_l = gather_windows(comp_l, off_l + cl_svl, coff_l + cl_sul, wl, wl)
+    p_r = gather_windows(comp_r, off_r + cl_svl, coff_r + cl_sur, wl, ww)
     # SAD in (slide, row*col, K) layout: K rides the lanes and the 121
     # window pixels ride the sublanes (the (slide, row, K) 3-D form pads
     # its 11-sublane middle dim to 16 and emits 11 strided partial reduces
@@ -255,8 +257,16 @@ def _extract_and_match_stereo_impl(
     # the SAD refinement reads the same bordered raw composite (interior
     # offset +pad folds into the per-level offsets)
     p = comps.pad
-    stack_l = (comps.bordered, np.asarray(comps.y0[0], np.int32) + p, p)
-    stack_r = (comps.bordered, np.asarray(comps.y0[1], np.int32) + p, p)
+    stack_l = (
+        comps.bordered,
+        np.asarray(comps.y0[0], np.int32) + p,
+        np.asarray(comps.x0[0], np.int32) + p,
+    )
+    stack_r = (
+        comps.bordered,
+        np.asarray(comps.y0[1], np.int32) + p,
+        np.asarray(comps.x0[1], np.int32) + p,
+    )
     level_hw = np.array([lvl.shape for lvl in pyr_l], np.int32)
     u_right, depth = stereo_match(
         feat_l,

@@ -63,7 +63,8 @@ class MergedComposites(NamedTuple):
 
     bordered: jax.Array   # (sum_h, wmax) u8 — raw, `pad`-px borders per block
     sampling: jax.Array   # same shape — blurred interiors, raw borders
-    y0: tuple             # y0[cam][level]: block start row
+    y0: tuple             # y0[cam][level]: block top-left row
+    x0: tuple             # x0[cam][level]: block top-left column
     pad: int              # border band width (>= 3; see class docstring)
 
 
@@ -75,7 +76,31 @@ def build_merged_composites(pyramids: list[list[jax.Array]]) -> MergedComposites
 
     p = COMPOSITE_BAND
     blocks = [img for pyr in pyramids for img in pyr]
-    wmax = max(img.shape[1] for img in blocks) + 2 * p
+    # 2-D shelf packing (first-fit over existing shelves, descending block
+    # width): narrow high levels stacked at the level-0 width waste ~25% of
+    # the composite as zero columns, and blur / interior-select / the two
+    # VMEM gather pins all scale with composite area (each bf16 pin drops
+    # ~7.7 -> ~5.9 MB at EuRoC stereo scale).  Correctness is the same
+    # argument as the detection composite (ops/fast.py): every block keeps
+    # its own `p`-px reflect band, and no consumer window reads past its
+    # block's band, so blocks can sit side by side.
+    hb = [img.shape[0] + 2 * p for img in blocks]
+    wb = [img.shape[1] + 2 * p for img in blocks]
+    w_comp = max(wb)
+    order = sorted(range(len(blocks)), key=lambda b: (-wb[b], -hb[b], b))
+    shelves: list[list[int]] = []  # [y0, height, x_cursor]
+    place: list = [None] * len(blocks)
+    y_total = 0
+    for b in order:
+        for s in shelves:
+            if s[1] >= hb[b] and s[2] + wb[b] <= w_comp:
+                place[b] = (s[0], s[2])
+                s[2] += wb[b]
+                break
+        else:
+            shelves.append([y_total, hb[b], wb[b]])
+            place[b] = (y_total, 0)
+            y_total += hb[b]
     # Reflect borders for ALL blocks ride ONE stacked reverse per side
     # (narrow per-block revs are op-overhead bound: 2L row revs + 2L lane
     # revs collapse to 4 ops).  Columns first, rows second — reflect-101
@@ -89,41 +114,59 @@ def build_merged_composites(pyramids: list[list[jax.Array]]) -> MergedComposites
     y = 0
     for img in blocks:
         h, w = img.shape
-        pieces = [lefts[y : y + h], img, rights[y : y + h]]
-        if wmax - w - 2 * p:
-            pieces.append(jnp.zeros((h, wmax - w - 2 * p), img.dtype))
-        cv.append(jnp.concatenate(pieces, axis=1))
+        cv.append(jnp.concatenate([lefts[y : y + h], img, rights[y : y + h]], axis=1))
         y += h
     # stacking the strips in REVERSED block order makes the single global
     # [::-1] both flip each strip's rows (the reflect) and restore block
     # order: rev(concat([T_n.., T_0])) == concat([rev(T_0), .., rev(T_n)])
-    tops = jnp.concatenate([v[1 : 1 + p] for v in reversed(cv)])[::-1]
+    # (widths differ per block now, so the side-border strips — full block
+    # width each — stack per side at width w_comp and are sliced back)
+    padded_cv = [jnp.pad(v, ((0, 0), (0, w_comp - v.shape[1]))) for v in cv]
+    tops = jnp.concatenate([v[1 : 1 + p] for v in reversed(padded_cv)])[::-1]
     bots = jnp.concatenate(
-        [v[v.shape[0] - 1 - p : v.shape[0] - 1] for v in reversed(cv)]
+        [v[v.shape[0] - 1 - p : v.shape[0] - 1] for v in reversed(padded_cv)]
     )[::-1]
-    rows, y0_flat = [], []
-    y = 0
+    by_shelf: dict[int, list] = {}
+    for b in range(len(blocks)):
+        by_shelf.setdefault(place[b][0], []).append(b)
+    shelf_rows = []
     interior = []
-    for b, (img, v) in enumerate(zip(blocks, cv)):
-        h, w = img.shape
-        rows += [tops[b * p : (b + 1) * p], v, bots[b * p : (b + 1) * p]]
-        y0_flat.append(y)
-        interior.append((y + p, p, h, w))
-        y += h + 2 * p
-    y0_all, i = [], 0
+    for sy0, sh, _ in shelves:
+        x_cur, pieces = 0, []
+        for b in sorted(by_shelf[sy0], key=lambda b: place[b][1]):
+            tile = jnp.concatenate(
+                [
+                    tops[b * p : (b + 1) * p, : wb[b]],
+                    cv[b],
+                    bots[b * p : (b + 1) * p, : wb[b]],
+                ]
+            )
+            if sh - hb[b]:
+                tile = jnp.pad(tile, ((0, sh - hb[b]), (0, 0)))
+            pieces.append(tile)
+            x_cur = place[b][1] + wb[b]
+            interior.append(
+                (sy0 + p, place[b][1] + p) + blocks[b].shape
+            )
+        if w_comp - x_cur:
+            pieces.append(jnp.zeros((sh, w_comp - x_cur), blocks[0].dtype))
+        shelf_rows.append(jnp.concatenate(pieces, axis=1))
+    bordered = jnp.concatenate(shelf_rows, axis=0)
+    y0_all, x0_all, i = [], [], 0
     for pyr in pyramids:
-        y0_all.append(tuple(y0_flat[i : i + len(pyr)]))
+        y0_all.append(tuple(place[b][0] for b in range(i, i + len(pyr))))
+        x0_all.append(tuple(place[b][1] for b in range(i, i + len(pyr))))
         i += len(pyr)
-    bordered = jnp.concatenate(rows, axis=0)
     mask = _np.zeros(bordered.shape, bool)
     for (iy, ix, h, w) in interior:
         mask[iy : iy + h, ix : ix + w] = True
     # zero-pad blur: every surviving (interior) output sits >= `p` (>= 4) px
-    # from the composite edge, so the 3-px pad values are never consumed
+    # from the composite edge (block bands never abut the composite edge
+    # closer than their own band), so the 3-px pad values are never consumed
     sampling = jnp.where(
         jnp.asarray(mask), gaussian_blur7_u8(bordered, reflect=False), bordered
     )
-    return MergedComposites(bordered, sampling, tuple(y0_all), p)
+    return MergedComposites(bordered, sampling, tuple(y0_all), tuple(x0_all), p)
 
 
 class FrameFeatures(NamedTuple):
@@ -187,8 +230,17 @@ def extract_from_pyramid(
     """Extraction given a prebuilt pyramid (lets callers reuse the levels).
 
     `scores` (level -> NMS'd score crop) skips detection — the stereo path
-    computes both cameras' detections in one composite pass."""
-    return _extract_single(pyramid, params, scores)
+    computes both cameras' detections in one composite pass.  Standard
+    geometries route through the merged-composite core (one composite blur
+    + one orientation/BRIEF gather across all levels) exactly like the
+    stereo pair; irregular geometries fall back to the per-level path."""
+    if scores is None:
+        active, crops = detection_crops(pyramid, params)
+        score_list = detect_two_threshold_multi(
+            crops, params.ini_th_fast, params.min_th_fast
+        )
+        scores = dict(zip(active, score_list))
+    return extract_from_pyramids([pyramid], params, [scores])[0]
 
 
 def extract_from_pyramids(
@@ -225,7 +277,7 @@ def extract_from_pyramids(
         return flat, sel_levels, k_effs
 
     infos = [flat_info(p, s) for p, s in zip(pyramids, scores_list)]
-    if len(pyramids) <= 1 or not all(i[0] for i in infos):
+    if not all(i[0] for i in infos):
         return [
             _extract_single(p, params, s)
             for p, s in zip(pyramids, scores_list)
@@ -267,27 +319,32 @@ def extract_from_pyramids(
         comps = build_merged_composites(pyramids)
     p = comps.pad
 
-    def _offsets(dx, dy_extra):
-        col = np.concatenate(
+    def _offsets(extra):
+        # per-slot (x, y) block origins — host constants, zero device ops
+        row = np.concatenate(
             [
                 np.repeat(np.asarray(comps.y0[c], np.int32), k_effs)
                 for c in range(n_cams)
             ]
         )
-        return jnp.asarray(
-            np.stack([np.full_like(col, dx), col + dy_extra], axis=1)
+        col = np.concatenate(
+            [
+                np.repeat(np.asarray(comps.x0[c], np.int32), k_effs)
+                for c in range(n_cams)
+            ]
         )
+        return jnp.asarray(np.stack([col + extra, row + extra], axis=1))
 
     xy_all = jnp.concatenate(safe_cats)
     # orientation reads RAW pixels: gather from the bordered composite with
     # the +pad interior offset folded in
-    angles_all = ic_angles(comps.bordered, xy_all + _offsets(p, p))
+    angles_all = ic_angles(comps.bordered, xy_all + _offsets(p))
     # brief_descriptors adds BRIEF_PAD (19) to both coords internally;
     # offset by (pad - 19) so the net shift lands on the composite's
     # interior origin whatever the band width
     desc_all = brief_descriptors(
         comps.sampling,
-        (xy_all + _offsets(p - BRIEF_PAD, p - BRIEF_PAD)).astype(jnp.float32),
+        (xy_all + _offsets(p - BRIEF_PAD)).astype(jnp.float32),
         angles_all,
     )
 

@@ -90,7 +90,9 @@ def _score16(d: list) -> jax.Array:
 _CHUNK_COLS = 384
 
 
-def _raw_score_pallas(img: jax.Array, interpret: bool = False) -> jax.Array:
+def _raw_score_pallas(
+    img: jax.Array, interpret: bool = False, mask_np=None
+) -> jax.Array:
     """FAST raw score via a row-strip Pallas kernel.
 
     The ring's vertical extent is dy in [-3, 3]: the image is padded by 3
@@ -103,7 +105,14 @@ def _raw_score_pallas(img: jax.Array, interpret: bool = False) -> jax.Array:
     column chunks — 0.21 ms vs 0.40 for the log-step full-strip form on
     the 2112x736 composite (tools/bench_fast_variants2.py).  Bit-identical
     to the XLA/roll formulation and the CPU oracle.
+
+    `mask_np` (static (h, w) bool numpy, every True pixel >= 3 px inside
+    the composite) replaces the 3-px frame test: callers with a per-level
+    interior mask (the detection composite) fold it into the store here
+    instead of a separate full-composite where() pass (~0.5 MB/camera of
+    extra HBM round trip + one more fusion).
     """
+    import numpy as _np
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -124,13 +133,22 @@ def _raw_score_pallas(img: jax.Array, interpret: bool = False) -> jax.Array:
          for i in range(n)]
     )  # (n, strip + 6, wp)
 
-    def kernel(v, out):
+    # static interior mask as an f32 {0,1} plane (f32: Mosaic on v5e
+    # rejects packed-bf16 comparisons); every True pixel is >= 3 px inside
+    # its level, hence inside the composite frame, so it subsumes `inner`
+    if mask_np is not None:
+        M = jnp.asarray(
+            _np.pad(mask_np, ((0, hp - h), (0, wo - w))).astype(_np.float32)
+        )
+
+    def kernel(v, *refs):
         # hoist the 7 lane-unaligned column offsets out of the 16 ring
         # slices: each distinct dx is materialised once as a full-height
         # view (7 lane rotates instead of 16 rotate+shift pairs) and the
         # ring planes become cheap sublane slices of those views — measured
         # 17% faster on v5e, bit-identical
         i = pl.program_id(0)
+        m, out = refs if mask_np is not None else (None, *refs)
         vx = {dx: v[0, :, 3 + dx : 3 + dx + wo] for dx in range(-3, 4)}
         for c0 in range(0, wo, _CHUNK_COLS):
             cols = min(_CHUNK_COLS, wo - c0)
@@ -139,29 +157,39 @@ def _raw_score_pallas(img: jax.Array, interpret: bool = False) -> jax.Array:
                 vx[dx][3 + dy : 3 + dy + strip, c0 : c0 + cols] - c
                 for (dx, dy) in FAST_RING
             ]
-            # fold the 3-px FAST border zero-mask into the store (the XLA
+            # fold the border/interior zero-mask into the store (the XLA
             # tail's full-composite where() pass cost ~29 us/frame)
-            ys = i * strip + jax.lax.broadcasted_iota(
-                jnp.int32, (strip, cols), 0
-            )
-            xs = c0 + jax.lax.broadcasted_iota(jnp.int32, (strip, cols), 1)
-            inner = (ys >= 3) & (ys < h - 3) & (xs >= 3) & (xs < w - 3)
+            if m is not None:
+                inner = m[:, c0 : c0 + cols] > 0.0
+            else:
+                ys = i * strip + jax.lax.broadcasted_iota(
+                    jnp.int32, (strip, cols), 0
+                )
+                xs = c0 + jax.lax.broadcasted_iota(jnp.int32, (strip, cols), 1)
+                inner = (ys >= 3) & (ys < h - 3) & (xs >= 3) & (xs < w - 3)
             out[:, c0 : c0 + cols] = jnp.where(
                 inner, _score16(d).astype(jnp.int32) - 1, 0
             )
 
+    in_specs = [
+        pl.BlockSpec(
+            (1, strip + 6, wp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+    ]
+    operands = [strips]
+    if mask_np is not None:
+        in_specs.append(
+            pl.BlockSpec((strip, wo), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        )
+        operands.append(M)
     score = pl.pallas_call(
         kernel,
         grid=(n,),
-        in_specs=[
-            pl.BlockSpec(
-                (1, strip + 6, wp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-            )
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((strip, wo), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((hp, wo), jnp.int32),
         interpret=interpret,
-    )(strips)
+    )(*operands)
     return score[:h, :w]
 
 
@@ -443,8 +471,11 @@ def detect_two_threshold_multi(
     if _use_pallas() and _PALLAS_DETECT:
         score = _detect_fused_pallas(comp, mask, ini_th, min_th)
     else:
-        raw = raw_score_map(comp)
-        raw = jnp.where(jnp.asarray(mask), raw, 0)
+        if _use_pallas():
+            # per-level interior mask folded into the score kernel's store
+            raw = _raw_score_pallas(comp, mask_np=mask)
+        else:
+            raw = jnp.where(jnp.asarray(mask), raw_score_map(comp), 0)
         hi = jnp.where(raw >= ini_th, raw, 0)
         lo = jnp.where(raw >= min_th, raw, 0)
         tile_max = jax.lax.reduce_window(

@@ -147,19 +147,22 @@ def test_merged_composite_matches_per_block_reflect():
     ]
     comps = build_merged_composites(pyrs)
     p = comps.pad
-    wmax = max(img.shape[1] for pyr in pyrs for img in pyr) + 2 * p
-    exp_rows = []
-    for pyr in pyrs:
-        for img in pyr:
-            blk = np.asarray(_reflect101_pad(img, p))
-            exp_rows.append(np.pad(blk, ((0, 0), (0, wmax - blk.shape[1]))))
-    exp = np.concatenate(exp_rows, axis=0)
     got = np.asarray(comps.bordered)
-    assert got.shape == exp.shape
-    assert np.array_equal(got, exp)
-    # y0 bookkeeping: each block's interior starts `pad` rows into its cell
-    y = 0
+    # every block, read at its (y0, x0) origin, is bit-identical to its own
+    # per-block reflect-101 padding — the invariant every consumer relies
+    # on, independent of how the shelf packer arranges blocks
+    covered = np.zeros(got.shape, bool)
     for cam, pyr in enumerate(pyrs):
         for lvl, img in enumerate(pyr):
-            assert comps.y0[cam][lvl] == y
-            y += img.shape[0] + 2 * p
+            blk = np.asarray(_reflect101_pad(img, p))
+            y0, x0 = comps.y0[cam][lvl], comps.x0[cam][lvl]
+            hb, wb = blk.shape
+            assert np.array_equal(got[y0 : y0 + hb, x0 : x0 + wb], blk)
+            assert not covered[y0 : y0 + hb, x0 : x0 + wb].any(), "overlap"
+            covered[y0 : y0 + hb, x0 : x0 + wb] = True
+    # filler area is zero
+    assert not got[~covered].any()
+    # packing actually helps: the composite is smaller than a vertical stack
+    wmax = max(img.shape[1] for pyr in pyrs for img in pyr) + 2 * p
+    vstack_h = sum(img.shape[0] + 2 * p for pyr in pyrs for img in pyr)
+    assert got.shape[0] * got.shape[1] <= vstack_h * wmax

@@ -26,6 +26,20 @@ def test_pallas_fast_bit_exact(small_image):
     assert (out == ref).all(), np.argwhere(out != ref)[:5]
 
 
+def test_pallas_fast_masked_bit_exact(small_image):
+    """Static interior mask folded into the kernel store == where(mask, raw, 0)."""
+    h, w = small_image.shape
+    mask = np.zeros((h, w), bool)
+    mask[3 : h - 3, 3 : w - 3] = True
+    mask[:, w // 3 : w // 3 + 5] = False  # fake level seam
+    mask[h // 2 : h // 2 + 7, :] = False
+    ref = np.where(mask, _roll_raw(jnp.asarray(small_image)), 0)
+    out = np.asarray(
+        F._raw_score_pallas(jnp.asarray(small_image), interpret=True, mask_np=mask)
+    )
+    assert (out == ref).all(), np.argwhere(out != ref)[:5]
+
+
 def test_pallas_fast_odd_sizes():
     rng = np.random.default_rng(5)
     for h, w in ((65, 130), (96, 746), (57, 57)):
