@@ -54,7 +54,7 @@ class StereoFrameFeatures(NamedTuple):
 def stereo_match(
     feat_l: FrameFeatures,
     feat_r: FrameFeatures,
-    stack_l: tuple,   # (composite (sum_h, W), per-level (row0, col0) offsets)
+    stack_l: tuple,   # (composite (sum_h, W), (L,) numpy row origins, (L,) numpy col origins)
     stack_r: tuple,
     level_hw: np.ndarray,       # (L, 2) static per-level (h, w)
     scale_factors: np.ndarray,  # (L,) static
@@ -134,8 +134,8 @@ def stereo_match(
     cl_sur = jnp.clip(sur0 - SAD_L - SAD_W, 0, lw - ww)
     off_l = lut(oh_l, jnp.asarray(row_off_l)).astype(jnp.int32)
     off_r = lut(oh_l, jnp.asarray(row_off_r)).astype(jnp.int32)
-    coff_l = lut(oh_l, jnp.asarray(np.broadcast_to(col0_l, (n_lvl,)))).astype(jnp.int32)
-    coff_r = lut(oh_l, jnp.asarray(np.broadcast_to(col0_r, (n_lvl,)))).astype(jnp.int32)
+    coff_l = lut(oh_l, jnp.asarray(col0_l)).astype(jnp.int32)
+    coff_r = lut(oh_l, jnp.asarray(col0_r)).astype(jnp.int32)
     p_l = gather_windows(comp_l, off_l + cl_svl, coff_l + cl_sul, wl, wl)
     p_r = gather_windows(comp_r, off_r + cl_svl, coff_r + cl_sur, wl, ww)
     # SAD in (slide, row*col, K) layout: K rides the lanes and the 121

@@ -24,7 +24,11 @@ import numpy as np
 
 from orbslam3_tpu.oracle.orb_cpu import FAST_BORDER, PATCH_SIZE, PyramidParams
 from orbslam3_tpu.ops.pyramid import build_pyramid, gaussian_blur7_u8
-from orbslam3_tpu.ops.fast import detect_two_threshold, detect_two_threshold_multi
+from orbslam3_tpu.ops.fast import (
+    detect_two_threshold,
+    detect_two_threshold_multi,
+    shelf_pack,
+)
 from orbslam3_tpu.ops.select import select_topk_grid_multi
 from orbslam3_tpu.ops.orientation import ic_angles
 from orbslam3_tpu.ops.brief import (
@@ -88,19 +92,7 @@ def build_merged_composites(pyramids: list[list[jax.Array]]) -> MergedComposites
     wb = [img.shape[1] + 2 * p for img in blocks]
     w_comp = max(wb)
     order = sorted(range(len(blocks)), key=lambda b: (-wb[b], -hb[b], b))
-    shelves: list[list[int]] = []  # [y0, height, x_cursor]
-    place: list = [None] * len(blocks)
-    y_total = 0
-    for b in order:
-        for s in shelves:
-            if s[1] >= hb[b] and s[2] + wb[b] <= w_comp:
-                place[b] = (s[0], s[2])
-                s[2] += wb[b]
-                break
-        else:
-            shelves.append([y_total, hb[b], wb[b]])
-            place[b] = (y_total, 0)
-            y_total += hb[b]
+    place, shelves = shelf_pack(hb, wb, w_comp, order=order)
     # Reflect borders for ALL blocks ride ONE stacked reverse per side
     # (narrow per-block revs are op-overhead bound: 2L row revs + 2L lane
     # revs collapse to 4 ops).  Columns first, rows second — reflect-101

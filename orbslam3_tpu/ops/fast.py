@@ -137,6 +137,13 @@ def _raw_score_pallas(
     # rejects packed-bf16 comparisons); every True pixel is >= 3 px inside
     # its level, hence inside the composite frame, so it subsumes `inner`
     if mask_np is not None:
+        # the mask REPLACES the frame test, so a True pixel near the edge
+        # would silently score against the zero padding — enforce the
+        # contract at trace time (cheap: four border-strip reductions)
+        assert mask_np.shape == (h, w) and not (
+            mask_np[:3].any() or mask_np[-3:].any()
+            or mask_np[:, :3].any() or mask_np[:, -3:].any()
+        ), "mask_np contract: every True pixel must be >= 3 px inside the composite"
         M = jnp.asarray(
             _np.pad(mask_np, ((0, hp - h), (0, wo - w))).astype(_np.float32)
         )
@@ -400,6 +407,39 @@ def _detect_fused_pallas(
     return score[:, :w]
 
 
+def shelf_pack(
+    heights, widths, w_comp: int, order=None
+) -> tuple[list, list]:
+    """First-fit 2-D shelf packing shared by the detection composite (below)
+    and the gather/blur composite (ops/extractor.build_merged_composites).
+
+    Blocks are placed in `order` (default: given order) onto horizontal
+    shelves of width `w_comp`: the first existing shelf tall and roomy
+    enough takes the block at its x-cursor, else a new shelf opens at the
+    bottom.  Returns (place, shelves) where place[b] = (y0, x0) in the
+    blocks' original indexing and shelves is a list of [y0, height,
+    x_cursor] rows (x_cursor = used width).
+    """
+    n = len(heights)
+    if order is None:
+        order = range(n)
+    shelves: list[list[int]] = []  # [y0, height, x_cursor]
+    place: list = [None] * n
+    y_total = 0
+    for b in order:
+        hb, wb = heights[b], widths[b]
+        for s in shelves:
+            if s[1] >= hb and s[2] + wb <= w_comp:
+                place[b] = (s[0], s[2])
+                s[2] += wb
+                break
+        else:
+            shelves.append([y_total, hb, wb])
+            place[b] = (y_total, 0)
+            y_total += hb
+    return place, shelves
+
+
 def detect_two_threshold_multi(
     crops: list, ini_th: int, min_th: int
 ) -> list:
@@ -427,19 +467,9 @@ def detect_two_threshold_multi(
     pads = [(-(-c.shape[0] // TILE) * TILE, -(-c.shape[1] // TILE) * TILE)
             for c in crops]
     w_comp = max(pw for _, pw in pads)
-    shelves: list[list[int]] = []  # [y0, height, x_cursor]
-    place = []
-    y_total = 0
-    for ph, pw in pads:
-        for s in shelves:
-            if s[1] >= ph and s[2] + pw <= w_comp:
-                place.append((s[0], s[2]))
-                s[2] += pw
-                break
-        else:
-            shelves.append([y_total, ph, pw])
-            place.append((y_total, 0))
-            y_total += ph
+    place, shelves = shelf_pack(
+        [ph for ph, _ in pads], [pw for _, pw in pads], w_comp
+    )
     # build the composite with pure pad+concat (one fused copy) instead of
     # a chain of dynamic-update-slices (measured 0.05 ms/camera of pure
     # data movement); layout is bit-identical to the scatter form

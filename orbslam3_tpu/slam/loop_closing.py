@@ -4,10 +4,11 @@ Role-parity with /root/reference/src/LoopClosing1-3.cc (2,607 LoC):
 NewDetectCommonRegions (BoW candidates -> geometric verification via Sim3
 RANSAC, LoopClosing1.cc:324,578), CorrectLoop (pose propagation through the
 covisible group, map-point transport, fuse, loop edges, essential-graph
-optimization, LoopClosing2.cc:106), and a global-BA pass
+optimization, LoopClosing2.cc:106), a global-BA pass
 (RunGlobalBundleAdjustment, LoopClosing3.cc:520; synchronous here in
-sequential mode, worker thread otherwise).  Map-merge across Atlas maps is
-deferred to the relocalization-based recovery path.
+sequential mode, worker thread otherwise), and map-merge across Atlas maps
+(`merge_maps`, incl. the inertial 4-DoF weld — MergeLocal/MergeLocal2
+role, LoopClosing2.cc:352 / LoopClosing3.cc:35).
 """
 
 from __future__ import annotations

@@ -98,3 +98,27 @@ def test_fused_via_public_multi(monkeypatch):
            F.detect_two_threshold_multi([jnp.asarray(c) for c in crops], 20, 7)]
     for g, wv in zip(got, want):
         assert (g == wv).all()
+
+
+def test_masked_raw_branch_via_public_multi(monkeypatch):
+    # the UNfused Pallas branch of detect_two_threshold_multi (masked
+    # _raw_score_pallas + the hi/lo/tile-retry/nms3 XLA tail) — the default
+    # on hardware — forced down in interpret mode, matches the pure-XLA
+    # where(mask, raw_score_map, 0) branch exactly (ADVICE r3: this branch
+    # was only covered end-to-end by bench.py --verify)
+    rng = np.random.default_rng(23)
+    crops = [rng.integers(0, 255, (h, w), np.uint8)
+             for (h, w) in ((96, 160), (72, 120), (48, 80))]
+    want = [np.asarray(s) for s in
+            F.detect_two_threshold_multi([jnp.asarray(c) for c in crops], 20, 7)]
+    raw_pallas = F._raw_score_pallas
+    monkeypatch.setattr(F, "_use_pallas", lambda: True)
+    monkeypatch.setattr(F, "_PALLAS_DETECT", False)
+    monkeypatch.setattr(
+        F, "_raw_score_pallas",
+        lambda comp, mask_np=None: raw_pallas(comp, interpret=True, mask_np=mask_np),
+    )
+    got = [np.asarray(s) for s in
+           F.detect_two_threshold_multi([jnp.asarray(c) for c in crops], 20, 7)]
+    for g, wv in zip(got, want):
+        assert (g == wv).all()
