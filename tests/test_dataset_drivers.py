@@ -305,3 +305,124 @@ ORBextractor.minThFAST: 7
         gt.append(tcw_gt)
     rmse = ate_rmse(est, gt)
     assert rmse < 0.02, f"TUM-RGBD-driver ATE RMSE {rmse*100:.2f} cm"
+
+
+@pytest.mark.slow
+def test_run_tumvi_driver(tmp_path, monkeypatch):
+    """examples/run_tumvi.py: TUM-VI ASL layout + KB8 stereo-inertial yaml
+    through the file driver — fisheye cameras, lapping areas, IMU csv
+    windowing, and trajectory artifacts (reference stereo_inertial_tum_vi
+    example role)."""
+    from orbslam3_tpu.cameras.models import KannalaBrandt8
+    from orbslam3_tpu.utils.synth import imu_samples_between
+    from test_tumvi_inertial import (
+        BASELINE as KB_BASELINE, H as KH, TBC, W as KW, _pose, _world,
+    )
+    from orbslam3_tpu.utils.synth import render_world
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+    import run_tumvi
+
+    cam = KannalaBrandt8(
+        [160.0, 160.0, KW / 2, KH / 2, 0.0035, 0.0008, -0.0034, 0.0006]
+    )
+    walls = _world()
+    t_rl = SE3(np.eye(3), np.array([-KB_BASELINE, 0.0, 0.0]))
+    n = 16
+    frames = []
+    for k in range(n):
+        tcw = _pose(k).inverse()
+        frames.append((
+            render_world(walls, cam, tcw, KH, KW),
+            render_world(walls, cam, t_rl * tcw, KH, KW),
+            tcw,
+        ))
+    seq = str(tmp_path / "mav0")
+    _write_euroc_tree(seq, frames)  # TUM-VI ships the same ASL layout
+    t0_ns = int(1403636579 * 1e9)
+    os.makedirs(os.path.join(seq, "imu0"))
+    with open(os.path.join(seq, "imu0", "data.csv"), "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["#timestamp [ns]", "w_x", "w_y", "w_z", "a_x", "a_y", "a_z"])
+        for k in range(n - 1):
+            acc, gyro, dts = imu_samples_between(k, k + 1, Tbc=TBC, pose_fn=_pose)
+            t = t0_ns + int(k / 20.0 * 1e9)
+            for a, g, dt in zip(acc, gyro, dts):
+                t += int(dt * 1e9)
+                w.writerow([t, *g, *a])
+
+    tbc = np.eye(4)
+    tbc[:3, :3] = TBC.R
+    tbc[:3, 3] = TBC.t
+    tbc_data = ",".join(f"{v:.12f}" for v in tbc.reshape(-1))
+    (tmp_path / "TUMVI.yaml").write_text(f"""%YAML:1.0
+---
+File.version: "1.0"
+Camera.type: "KannalaBrandt8"
+Camera1.fx: 160.0
+Camera1.fy: 160.0
+Camera1.cx: {KW / 2}
+Camera1.cy: {KH / 2}
+Camera1.k1: 0.0035
+Camera1.k2: 0.0008
+Camera1.k3: -0.0034
+Camera1.k4: 0.0006
+Camera1.overlappingBegin: 0
+Camera1.overlappingEnd: {KW}
+Camera2.fx: 160.0
+Camera2.fy: 160.0
+Camera2.cx: {KW / 2}
+Camera2.cy: {KH / 2}
+Camera2.k1: 0.0035
+Camera2.k2: 0.0008
+Camera2.k3: -0.0034
+Camera2.k4: 0.0006
+Camera2.overlappingBegin: 0
+Camera2.overlappingEnd: {KW}
+Camera.width: {KW}
+Camera.height: {KH}
+Camera.fps: 20
+Camera.RGB: 1
+Stereo.ThDepth: 40.0
+Stereo.T_c1_c2: !!opencv-matrix
+   rows: 4
+   cols: 4
+   dt: f
+   data: [1.0,0.0,0.0,{KB_BASELINE},0.0,1.0,0.0,0.0,0.0,0.0,1.0,0.0,0.0,0.0,0.0,1.0]
+Stereo.b: {KB_BASELINE}
+IMU.NoiseGyro: 1.0e-4
+IMU.NoiseAcc: 1.0e-3
+IMU.GyroWalk: 1.0e-6
+IMU.AccWalk: 1.0e-5
+IMU.Frequency: 200.0
+IMU.T_b_c1: !!opencv-matrix
+   rows: 4
+   cols: 4
+   dt: f
+   data: [{tbc_data}]
+ORBextractor.nFeatures: 700
+ORBextractor.scaleFactor: 1.2
+ORBextractor.nLevels: 8
+ORBextractor.iniThFAST: 20
+ORBextractor.minThFAST: 7
+""")
+    monkeypatch.chdir(tmp_path)
+    slam = run_tumvi.main(seq, str(tmp_path / "TUMVI.yaml"))
+    assert isinstance(slam.camera, KannalaBrandt8)
+    assert isinstance(slam.camera2, KannalaBrandt8)
+    lines = [l.split() for l in open(tmp_path / "CameraTrajectory.txt") if l.strip()]
+    assert len(lines) == n
+    assert len([l for l in open(tmp_path / "KeyFrameTrajectory.txt") if l.strip()]) >= 2
+    # IMU flowed through the csv windowing into preintegration
+    kf = slam.tracker.last_kf
+    assert kf is not None and kf.imu_preint is not None
+    assert kf.imu_preint.dT > 0.01
+    # trajectory sane vs ground truth
+    est, gt = [], []
+    for row, (_, _, tcw_gt) in zip(lines, frames):
+        t = np.array([float(v) for v in row[1:4]])
+        q = np.array([float(v) for v in row[4:8]])
+        est.append(SE3(quat_to_rot(q), t).inverse())
+        gt.append(tcw_gt)
+    rmse = ate_rmse(est, gt)
+    assert rmse < 0.02, f"TUM-VI-driver ATE RMSE {rmse*100:.2f} cm"
