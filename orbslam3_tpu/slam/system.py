@@ -623,11 +623,33 @@ class System:
         save_atlas(path, self.atlas, self.vocabulary)
 
     def load_atlas(self, path: str):
+        """Load a prior session's atlas and arm the tracker to CONTINUE in
+        it (System::LoadAtlas contract, System.cc:157: load at startup,
+        then SLAM — localize into / extend the loaded maps).
+
+        If the loaded current map has keyframes, tracking resumes in
+        RECENTLY_LOST: the next frame relocalizes into the loaded map and
+        keeps mapping there; if relocalization keeps failing (unseen
+        territory), the standard lost ladder forks a fresh map that
+        LoopClosing can later merge back into the loaded one — the
+        reference's CreateNewMap-after-load + MergeLocal path."""
+        from orbslam3_tpu.slam.tracking import TrackingState
         from orbslam3_tpu.utils.persistence import load_atlas
 
         self.atlas = load_atlas(path, self.vocabulary, self.kf_database)
         self.local_mapper.atlas = self.atlas
         self.tracker.atlas = self.atlas
+        if self.loop_closer is not None:
+            self.loop_closer.atlas = self.atlas
+        m = self.atlas.get_current_map()
+        if m is not None and m.n_keyframes() > 0:
+            t = self.tracker
+            t.state = TrackingState.RECENTLY_LOST
+            t.velocity = None
+            t.last_frame = None
+            t.last_kf = None
+            t.frames_since_lost = 0
+            t._imu_meas_since_kf = []
 
     def shutdown(self):
         if self.viewer is not None:

@@ -178,7 +178,9 @@ class Tracking:
             self._imu_prior = None  # chain broken; restart from next anchor
 
         if ok:
-            if self.last_frame.Tcw is not None:
+            # last_frame can be None on the first frame after an atlas
+            # load (multi-session resume relocalizes with no predecessor)
+            if self.last_frame is not None and self.last_frame.Tcw is not None:
                 self.velocity = frame.Tcw * self.last_frame.Twc
             else:
                 self.velocity = None

@@ -5,7 +5,8 @@ SaveAtlas serializes keyframe velocities, biases and preintegrations too
 (System.cc:1348, KeyFrame serialization includes mVw/mImuBias/mpImuPreintegrated).
 This pins that an atlas carrying IMU state — preintegration objects,
 per-KF velocity/bias, map-level imu_initialized flags — pickles, reloads,
-and stays usable (KFDB rebuilt, tracking resumable).
+and stays usable (KFDB rebuilt; resume-and-continue tracking itself is
+proven end-to-end by tests/test_atlas_resume.py).
 """
 
 import numpy as np
