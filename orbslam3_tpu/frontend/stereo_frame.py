@@ -315,6 +315,10 @@ def extract_and_match_stereo_packed(
     # call the pure implementation, not the (possibly monkeypatched/
     # memoized) module attribute — this runs under jit
     out = _extract_and_match_stereo_impl(pair, params, mbf, fx)
+    return _pack_features(out)
+
+
+def _pack_features(out: "StereoFrameFeatures") -> jax.Array:
     l = out.left
     cols = [
         l.xy[:, 0], l.xy[:, 1],
@@ -324,6 +328,29 @@ def extract_and_match_stereo_packed(
     ]
     packed = jnp.stack(cols, axis=1)
     return jnp.concatenate([packed, l.desc.astype(jnp.float32)], axis=1)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def extract_and_match_stereo_packed_batch(
+    pairs: jax.Array,
+    params: PyramidParams,
+    mbf: float = DEFAULT_MBF,
+    fx: float = DEFAULT_FX,
+) -> jax.Array:
+    """(B, 2, H, W) uint8 -> (B, K, 40): B stereo front-ends in ONE
+    data-parallel dispatch (vmap, not scan: every op carries a batch axis,
+    so the chip's per-op dispatch/sequencer overhead amortises over B
+    frames and narrow ops fill more lanes).  Serves mapping-rate /
+    multi-robot throughput workloads and the prefetch pipeline's batched
+    dispatch unit (System.prefetch_stereo_batch) — the latency-critical
+    per-frame loop keeps the unbatched program."""
+
+    def one(pair):
+        return _pack_features(
+            _extract_and_match_stereo_impl(pair, params, mbf, fx)
+        )
+
+    return jax.vmap(one)(pairs)
 
 
 def unpack_host_features(arr: np.ndarray) -> dict:

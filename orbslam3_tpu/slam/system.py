@@ -24,6 +24,40 @@ from orbslam3_tpu.utils.benchmark import trace_range
 from orbslam3_tpu.utils.lie import SE3
 
 
+class _SharedBatchFetch:
+    """One lazily-fetched (B, K, 40) batch result shared by B frame handles
+    (prefetch_stereo_batch): the first consumer pays the single device->host
+    transfer, the rest read the cached host array."""
+
+    __slots__ = ("out", "_host")
+
+    def __init__(self, out):
+        self.out = out
+        self._host = None
+
+    def host(self) -> np.ndarray:
+        if self._host is None:
+            self._host = np.asarray(self.out)
+            self.out = None  # free the device buffer reference
+        return self._host
+
+
+class _BatchRow:
+    """np.asarray-able view of one frame's row in a _SharedBatchFetch —
+    duck-types the per-frame device array that track_stereo_prefetched
+    consumes."""
+
+    __slots__ = ("fetch", "i")
+
+    def __init__(self, fetch: _SharedBatchFetch, i: int):
+        self.fetch = fetch
+        self.i = i
+
+    def __array__(self, dtype=None, copy=None):
+        a = self.fetch.host()[self.i]
+        return a.astype(dtype) if dtype is not None else a
+
+
 class System:
     STEREO = "stereo"
     MONOCULAR = "mono"
@@ -273,6 +307,33 @@ class System:
         except Exception:
             pass  # non-jax array (tests memoize to numpy) or old jax
         return (out, img_l.shape)
+
+    def prefetch_stereo_batch(self, pairs: list):
+        """Batched prefetch: dispatch the front-end for B future frames as
+        ONE data-parallel device program (vmap over the batch axis —
+        extract_and_match_stereo_packed_batch) and return one handle per
+        frame, each consumable by track_stereo_prefetched in order.
+
+        One dispatch + one (B, K, 40) device->host fetch serve the whole
+        window, so per-dispatch overhead amortises over B frames — the
+        throughput mode for mapping-rate / multi-robot workloads (the
+        chip is ~99% idle at the per-frame slope).  `pairs` is a list of
+        (img_l, img_r)."""
+        from orbslam3_tpu.frontend import stereo_frame as sf
+
+        pre = [self._preprocess_stereo(il, ir) for il, ir in pairs]
+        batch = np.stack([np.stack(p) for p in pre])
+        out = sf.extract_and_match_stereo_packed_batch(
+            batch, self.orb_params, self.mbf, float(self.camera.fx)
+        )
+        try:
+            out.copy_to_host_async()
+        except Exception:
+            pass
+        fetch = _SharedBatchFetch(out)
+        return [
+            (_BatchRow(fetch, i), pre[i][0].shape) for i in range(len(pre))
+        ]
 
     def track_stereo_prefetched(
         self, handle, timestamp: float, imu: tuple | None = None

@@ -166,3 +166,4 @@ def test_merged_composite_matches_per_block_reflect():
     wmax = max(img.shape[1] for pyr in pyrs for img in pyr) + 2 * p
     vstack_h = sum(img.shape[0] + 2 * p for pyr in pyrs for img in pyr)
     assert got.shape[0] * got.shape[1] <= vstack_h * wmax
+

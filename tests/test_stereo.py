@@ -91,3 +91,52 @@ def test_packed_transfer_matches_unpacked(small_image):
     assert (got["desc"] == ref.left.desc[valid]).all()
     assert (got["u_right"] == ref.u_right[valid]).all()
     assert (got["depth"] == ref.depth[valid]).all()
+
+
+def test_packed_batch_matches_per_frame(small_image):
+    """vmap-batched B-frame program == the per-frame program (the
+    prefetch pipeline's batched dispatch unit must not change outputs)."""
+    from orbslam3_tpu.frontend.stereo_frame import (
+        extract_and_match_stereo_packed,
+        extract_and_match_stereo_packed_batch,
+    )
+
+    params = PyramidParams(n_features=120)
+    rng = np.random.default_rng(7)
+    pairs = []
+    for s in (4, 7, 11):
+        img = np.clip(
+            small_image.astype(np.int32) + rng.integers(-6, 7, small_image.shape),
+            0, 255,
+        ).astype(np.uint8)
+        pairs.append(shifted_pair(img, s))
+    batch = np.stack([np.asarray(p) for p in pairs])
+    got = np.asarray(
+        extract_and_match_stereo_packed_batch(batch, params, MBF, FX)
+    )
+    for i, pair in enumerate(pairs):
+        want = np.asarray(extract_and_match_stereo_packed(pair, params, MBF, FX))
+        assert got[i].shape == want.shape
+        assert (got[i] == want).all(), f"batch row {i} != per-frame result"
+
+
+def test_system_batched_prefetch_matches_synchronous(small_image):
+    """System.prefetch_stereo_batch handles, consumed in order, reproduce
+    track_stereo exactly (one vmap dispatch serving the prefetch window)."""
+    from orbslam3_tpu.cameras.models import Pinhole
+    from orbslam3_tpu.slam.system import System
+    from orbslam3_tpu.utils.synth import stereo_sequence
+
+    camera = Pinhole([250.0, 250.0, 160.0, 120.0])
+    frames = stereo_sequence(4, camera, 0.12, 240, 320, seed=5)
+    s_sync = System(camera, 30.0, PyramidParams(n_features=600), sequential=True)
+    s_b = System(camera, 30.0, PyramidParams(n_features=600), sequential=True)
+    handles = s_b.prefetch_stereo_batch([(il, ir) for il, ir, _ in frames])
+    for k, (il, ir, _) in enumerate(frames):
+        p_sync = s_sync.track_stereo(il, ir, k / 20.0)
+        p_b = s_b.track_stereo_prefetched(handles[k], k / 20.0)
+        if p_sync is None:
+            assert p_b is None
+        else:
+            assert np.allclose(p_sync.matrix(), p_b.matrix(), atol=0)
+    assert s_sync.map_stats() == s_b.map_stats()
