@@ -49,12 +49,18 @@ def load_imu(imu_dir: str):
 
 
 def main(seq_dir: str, settings_path: str, voc_path: str | None = None,
-         sensor: str = "stereo", pipeline: int = 0):
+         sensor: str = "stereo", pipeline: int = 0, batch: int = 0):
     """`pipeline` > 0 prefetches that many frames of device extraction
     ahead of host tracking (System.prefetch_stereo /
     track_stereo_prefetched), overlapping extraction dispatch + D2H copy
     with tracking — 1-2 is enough on attached hardware.  0 = synchronous
-    track_stereo (reference stereo_euroc behavior)."""
+    track_stereo (reference stereo_euroc behavior).
+
+    `batch` > 0 instead dispatches the front-end for windows of `batch`
+    frames as ONE data-parallel device program
+    (System.prefetch_stereo_batch) — the throughput mode for
+    offline/mapping-rate runs; per-frame latency inside a window is
+    uneven, so the real-time loop prefers `pipeline`."""
     import cv2
 
     from orbslam3_tpu.slam.system import System
@@ -84,7 +90,26 @@ def main(seq_dir: str, settings_path: str, voc_path: str | None = None,
     fifo: deque = deque()  # (handle, ns) when pipelined
     feed = iter(stamps)
     for k, (ns, fname) in enumerate(stamps):
-        if pipeline > 0:
+        if batch > 0:
+            if not fifo:
+                # refill: one vmap dispatch serves the next `batch` frames
+                window = []
+                while len(window) < batch:
+                    try:
+                        ns_n, fname_n = next(feed)
+                    except StopIteration:
+                        break
+                    pair = _load(fname_n)
+                    if pair is not None:
+                        window.append((pair, ns_n))
+                if not window:
+                    break
+                handles = slam.prefetch_stereo_batch([p for p, _ in window])
+                fifo.extend(
+                    (h, ns_n) for h, (_, ns_n) in zip(handles, window)
+                )
+            handle, ns = fifo.popleft()
+        elif pipeline > 0:
             while len(fifo) <= pipeline:
                 try:
                     ns_n, fname_n = next(feed)
@@ -107,7 +132,7 @@ def main(seq_dir: str, settings_path: str, voc_path: str | None = None,
                 tsel = imu_ts[sel]
                 dts = np.diff(np.concatenate([[prev_ns], tsel])) * 1e-9
                 imu = (imu_acc[sel], imu_gyro[sel], dts)
-        if pipeline > 0:
+        if batch > 0 or pipeline > 0:
             slam.track_stereo_prefetched(handle, ns * 1e-9, imu=imu)
         else:
             slam.track_stereo(*pair, ns * 1e-9, imu=imu)
@@ -148,6 +173,8 @@ if __name__ == "__main__":
                     help="stereo | stereo-inertial")
     ap.add_argument("--pipeline", type=int, default=0,
                     help="prefetch depth (0 = synchronous)")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="batched-throughput mode: B frames per vmap dispatch")
     a = ap.parse_args()
     main(a.seq_dir, a.settings, a.voc, sensor=a.sensor_pos or a.sensor,
-         pipeline=max(0, a.pipeline))
+         pipeline=max(0, a.pipeline), batch=max(0, a.batch))

@@ -23,9 +23,9 @@ from run_euroc import main as _drive_loop  # same ASL-layout loop
 
 
 def main(seq_dir: str, settings_path: str, voc_path: str | None = None,
-         sensor: str = "stereo-inertial", pipeline: int = 0):
+         sensor: str = "stereo-inertial", pipeline: int = 0, batch: int = 0):
     return _drive_loop(seq_dir, settings_path, voc_path, sensor=sensor,
-                       pipeline=pipeline)
+                       pipeline=pipeline, batch=batch)
 
 
 if __name__ == "__main__":
@@ -51,6 +51,8 @@ if __name__ == "__main__":
                     help="stereo-inertial (default) | stereo")
     ap.add_argument("--pipeline", type=int, default=0,
                     help="prefetch depth (0 = synchronous)")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="batched-throughput mode: B frames per vmap dispatch")
     a = ap.parse_args()
     main(a.seq_dir, a.settings, a.voc, sensor=a.sensor,
-         pipeline=max(0, a.pipeline))
+         pipeline=max(0, a.pipeline), batch=max(0, a.batch))

@@ -92,10 +92,11 @@ ORBextractor.minThFAST: 7
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("pipeline", [0, 2])
-def test_run_euroc_driver(tmp_path, monkeypatch, pipeline):
+@pytest.mark.parametrize("pipeline,batch", [(0, 0), (2, 0), (0, 4)])
+def test_run_euroc_driver(tmp_path, monkeypatch, pipeline, batch):
     """pipeline=0: the reference stereo_euroc synchronous contract;
-    pipeline=2: the prefetch-overlap path (same outputs, same ATE gate)."""
+    pipeline=2: the prefetch-overlap path; batch=4: the vmap
+    batched-throughput path — same outputs, same ATE gate for all."""
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
     import run_euroc
 
@@ -108,7 +109,8 @@ def test_run_euroc_driver(tmp_path, monkeypatch, pipeline):
     _euroc_yaml(yaml_path)
 
     monkeypatch.chdir(tmp_path)
-    slam = run_euroc.main(seq, yaml_path, None, "stereo", pipeline=pipeline)
+    slam = run_euroc.main(seq, yaml_path, None, "stereo",
+                          pipeline=pipeline, batch=batch)
 
     traj = os.path.join(str(tmp_path), "CameraTrajectory.txt")
     kf_traj = os.path.join(str(tmp_path), "KeyFrameTrajectory.txt")
