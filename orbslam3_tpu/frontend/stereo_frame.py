@@ -338,19 +338,25 @@ def extract_and_match_stereo_packed_batch(
     fx: float = DEFAULT_FX,
 ) -> jax.Array:
     """(B, 2, H, W) uint8 -> (B, K, 40): B stereo front-ends in ONE
-    data-parallel dispatch (vmap, not scan: every op carries a batch axis,
-    so the chip's per-op dispatch/sequencer overhead amortises over B
-    frames and narrow ops fill more lanes).  Serves mapping-rate /
-    multi-robot throughput workloads and the prefetch pipeline's batched
-    dispatch unit (System.prefetch_stereo_batch) — the latency-critical
-    per-frame loop keeps the unbatched program."""
+    dispatch.  Serves mapping-rate / multi-robot throughput workloads and
+    the prefetch pipeline's batched dispatch unit
+    (System.prefetch_stereo_batch) — the latency-critical per-frame loop
+    keeps the unbatched program.
 
-    def one(pair):
-        return _pack_features(
+    Internally a lax.scan, NOT a vmap: A/B on the v5e (BENCH r4) measured
+    the vmapped form at 1.50 ms/frame vs the scanned form's 1.12 — the
+    per-frame program's composites already fill the vector lanes, so the
+    batch axis only grows VMEM pressure and worsens the batched Pallas
+    grids; sequential scan iterations reuse the single-frame program's
+    tuned layout.  Outputs are identical either way (row b is the
+    single-frame program on pairs[b])."""
+
+    def body(_, pair):
+        return None, _pack_features(
             _extract_and_match_stereo_impl(pair, params, mbf, fx)
         )
 
-    return jax.vmap(one)(pairs)
+    return jax.lax.scan(body, None, pairs)[1]
 
 
 def unpack_host_features(arr: np.ndarray) -> dict:

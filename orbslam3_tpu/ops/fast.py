@@ -44,6 +44,14 @@ _PALLAS_ENV = os.environ.get("ORBSLAM3_TPU_PALLAS_FAST", "1") == "1"
 _PALLAS_DETECT = os.environ.get("ORBSLAM3_TPU_PALLAS_DETECT", "0") == "1"
 
 
+# Documented cost model of the raw-score kernel, per composite pixel: 16
+# ring differences + the 58-op van Herk window min/max chain (_win9 x2 +
+# combine) + polarity fold + threshold/masked store ≈ 78 bf16 vector
+# ops/pixel.  bench.py's per_stage_budget uses this for the FAST stage's
+# VPU bound because XLA's cost model cannot see inside a pallas_call.
+FAST_SCORE_OPS_PER_PIXEL = 78
+
+
 def _use_pallas() -> bool:
     try:
         return _PALLAS_ENV and jax.default_backend() == "tpu"

@@ -772,9 +772,38 @@ class System:
         return dict(n_keyframes=m.n_keyframes(), n_map_points=m.n_map_points())
 
     # --- trajectory output (System.cc:544+) ------------------------------
-    def frame_trajectory(self) -> list[tuple[float, SE3]]:
+    def _first_kf_anchor(self, body_frame: bool) -> SE3:
+        """The reference's trajectory anchor: poses are expressed relative
+        to the FIRST keyframe (lowest id) of the biggest map — Two =
+        vpKFs[0]->GetPoseInverse() (System.cc SaveTrajectoryTUM), or the
+        first KF's body pose Twb0 = (Tbc * Tcw0)^-1 for the inertial
+        EuRoC saver (System.cc:634+)."""
+        maps = self.atlas.get_all_maps()
+        if not maps:
+            return SE3()
+        m = max(maps, key=lambda mp: mp.n_keyframes())
+        kfs = sorted(m.get_all_keyframes(), key=lambda k: k.id)
+        if not kfs:
+            return SE3()
+        tcw0 = kfs[0].Tcw
+        if body_frame and self.imu_calib is not None:
+            return (self.imu_calib.Tbc * tcw0).inverse()  # Twb0
+        return tcw0.inverse()  # Two
+
+    def frame_trajectory(self, body_frame: bool = False) -> list[tuple[float, SE3]]:
         """(timestamp, Twc) replaying relative poses against (possibly
-        optimized) reference keyframes — SaveTrajectoryTUM semantics."""
+        optimized) reference keyframes — SaveTrajectoryTUM semantics,
+        anchored at the first keyframe like the reference
+        (/root/reference/src/System.cc:544+: Trw = ... * Two).
+
+        With `body_frame` (inertial configs), poses are IMU/body poses
+        Twb = (Tbc * Tcr * Trw)^-1 against the first KF's body anchor —
+        the reference's SaveTrajectoryEuRoC inertial branch
+        (System.cc:634-745); EuRoC/TUM-VI ground truth lives in the body
+        frame, so dataset ATE must compare in it."""
+        body = body_frame and self.imu_calib is not None
+        anchor = self._first_kf_anchor(body)
+        tbc = self.imu_calib.Tbc if body else None
         out = []
         for fid, ts, tcr, ref, lost in self.tracker.trajectory:
             if lost or ref is None:
@@ -788,8 +817,11 @@ class System:
             while kf.bad and kf.parent is not None:
                 trw = trw * getattr(kf, "Tcp", SE3())
                 kf = kf.parent
-            tcw = tcr * trw * kf.Tcw
-            out.append((ts, tcw.inverse()))
+            tcw = tcr * trw * kf.Tcw * anchor
+            if body:
+                out.append((ts, (tbc * tcw).inverse()))
+            else:
+                out.append((ts, tcw.inverse()))
         return out
 
     def save_trajectory_tum(self, path: str):
@@ -803,9 +835,15 @@ class System:
         save_kitti(path, self.frame_trajectory())
 
     def save_trajectory_euroc(self, path: str):
+        """SaveTrajectoryEuRoC role (System.cc:634): ns timestamps, and —
+        for inertial configs — IMU/body poses against the first KF's body
+        anchor (EuRoC/TUM-VI ground truth is in the body frame)."""
         from orbslam3_tpu.utils.trajectory import save_euroc
 
-        save_euroc(path, self.frame_trajectory())
+        save_euroc(
+            path,
+            self.frame_trajectory(body_frame=self.imu_calib is not None),
+        )
 
     def get_tracked_keypoints_un(self):
         """Undistorted keypoints of tracked map points

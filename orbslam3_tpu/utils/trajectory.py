@@ -86,11 +86,16 @@ def save_kitti(path: str, traj: list[tuple[float, SE3]]):
 
 
 def save_euroc(path: str, traj: list[tuple[float, SE3]]):
+    """Reference SaveTrajectoryEuRoC artifact format
+    (/root/reference/src/System.cc:634-745): nanosecond timestamps, then
+    t and qx qy qz qw — the same quaternion order as TUM (the reference's
+    own committed f_dataset-*.txt artifacts use it), NOT the EuRoC
+    groundtruth csv's w-first order."""
     with open(path, "w") as f:
         for ts, twc in traj:
             q = rot_to_quat(twc.R)
             t = twc.t
             f.write(
-                f"{ts * 1e9:.0f} {t[0]:.7f} {t[1]:.7f} {t[2]:.7f} "
-                f"{q[3]:.7f} {q[0]:.7f} {q[1]:.7f} {q[2]:.7f}\n"
+                f"{ts * 1e9:.0f} {t[0]:.9f} {t[1]:.9f} {t[2]:.9f} "
+                f"{q[0]:.9f} {q[1]:.9f} {q[2]:.9f} {q[3]:.9f}\n"
             )

@@ -128,3 +128,48 @@ def test_long_run_trajectory_replay(long_run):
     p_gt = np.stack([T.inverse().t for T in gt])
     err = np.linalg.norm(p_est - p_gt, axis=1)
     assert np.median(err) < 0.02
+
+
+def test_euroc_saver_inertial_body_frame(tmp_path):
+    """SaveTrajectoryEuRoC parity (System.cc:634-745): inertial configs
+    write IMU/body poses (Twb, first-KF body anchor) in the reference's
+    artifact format — ns stamps, qx qy qz qw."""
+    from orbslam3_tpu.imu.preintegration import Calib
+    from orbslam3_tpu.utils.lie import SE3, so3_exp
+    from orbslam3_tpu.utils.trajectory import quat_to_rot
+
+    tbc = SE3(so3_exp(np.array([0.1, -0.2, 1.2])), np.array([0.05, -0.02, 0.01]))
+    pts, descs, rng = _world()
+    sysm = System(CAM, MBF, PyramidParams(n_features=800),
+                  sequential=True, max_frames=6, imu_calib=Calib(tbc))
+    acc = np.array([0.05, 0.0, 9.81])
+    gyro = np.array([0.0, 0.02, 0.0])
+    for k in range(30):
+        feats = _feats_at(pts, descs, rng, _pose(k))
+        imu = (np.tile(acc, (10, 1)), np.tile(gyro, (10, 1)),
+               np.full(10, 0.005)) if k > 0 else None
+        sysm.track_stereo_features(feats, k / 20.0, (0, 0, W, H), imu=imu)
+
+    cam_traj = sysm.frame_trajectory()
+    body_traj = sysm.frame_trajectory(body_frame=True)
+    assert len(cam_traj) == len(body_traj) > 10
+    # relative body motion == Tbc-conjugated relative camera motion
+    for i, j in ((0, 5), (3, len(cam_traj) - 1)):
+        (_, twc_i), (_, twc_j) = cam_traj[i], cam_traj[j]
+        (_, twb_i), (_, twb_j) = body_traj[i], body_traj[j]
+        rel_b = twb_i.inverse() * twb_j
+        rel_c_conj = tbc * (twc_i.inverse() * twc_j) * tbc.inverse()
+        np.testing.assert_allclose(rel_b.matrix(), rel_c_conj.matrix(), atol=1e-9)
+
+    p = str(tmp_path / "euroc.txt")
+    sysm.save_trajectory_euroc(p)
+    rows = [l.split() for l in open(p) if l.strip()]
+    assert len(rows) == len(body_traj)
+    # ns timestamps; qx qy qz qw order recovers the body rotations
+    for row, (ts, twb) in zip(rows[:5], body_traj[:5]):
+        assert abs(float(row[0]) - ts * 1e9) < 1e3
+        np.testing.assert_allclose(
+            np.array([float(v) for v in row[1:4]]), twb.t, atol=1e-8
+        )
+        q = np.array([float(v) for v in row[4:8]])  # qx qy qz qw
+        np.testing.assert_allclose(quat_to_rot(q), twb.R, atol=1e-7)
