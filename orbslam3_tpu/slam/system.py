@@ -729,6 +729,52 @@ class System:
         st = getattr(self, "settings", None)
         if st is not None and st.save_atlas:
             self.save_atlas(st.save_atlas)
+        self._shut_down = True
+
+    def is_shutdown(self) -> bool:
+        """System::isShutDown role (System.cc:538)."""
+        return getattr(self, "_shut_down", False)
+
+    def is_finished(self) -> bool:
+        """System::isFinished role — the reference defines it as
+        GetTimeFromIMUInit() > 0.1 (System.cc:1316); matched verbatim."""
+        return self.get_time_from_imu_init() > 0.1
+
+    def change_dataset(self):
+        """System::ChangeDataset role (System.cc:1318-1327): a current map
+        with <12 keyframes is reset in place, otherwise a fresh map is
+        forked (CreateMapInAtlas) — either way the inertial temporal chain
+        is cleared so no preintegration spans the dataset boundary."""
+        m = self.atlas.get_current_map()
+        if m.n_keyframes() < 12:
+            self.tracker._reset_active_map()
+        else:
+            self.tracker._fork_map()
+
+    def get_image_scale(self) -> float:
+        """System/Tracking::GetImageScale role (System.cc:1329): the
+        resize factor applied to raw inputs, 1.0 when none configured."""
+        st = getattr(self, "settings", None)
+        if st is not None and st.needs_resize:
+            return float(st.new_width) / float(st.width)
+        return 1.0
+
+    def insert_rect_time(self, ms: float):
+        """System::InsertRectTime role (REGISTER_TIMES analog): record an
+        externally-measured stereo-rectification duration."""
+        from orbslam3_tpu.utils.benchmark import Benchmark
+
+        Benchmark.the().push_sample("0.0_Stereo_Rectification", ms)
+
+    def insert_resize_time(self, ms: float):
+        from orbslam3_tpu.utils.benchmark import Benchmark
+
+        Benchmark.the().push_sample("0.1_Image_Resize", ms)
+
+    def insert_track_time(self, ms: float):
+        from orbslam3_tpu.utils.benchmark import Benchmark
+
+        Benchmark.the().push_sample("1.0_Track", ms)
 
     def get_tracking_state(self):
         return self.tracker.state
@@ -858,8 +904,36 @@ class System:
         ]
         return f.kps_un[idx] if idx else np.zeros((0, 2))
 
+    def _keyframe_poses(self, body_frame: bool = False) -> list:
+        """Sorted-by-id good keyframes of the current map as (ts, Twc) or
+        body (ts, Twb) — the reference's KF savers sort by mnId, skip bad,
+        and write GetImuPose for inertial sensors (System.cc
+        SaveKeyFrameTrajectoryTUM/EuRoC)."""
+        kfs = sorted(
+            self.atlas.get_current_map().get_all_keyframes(),
+            key=lambda k: k.id,
+        )
+        body = body_frame and self.imu_calib is not None
+        out = []
+        for kf in kfs:
+            if kf.bad:
+                continue
+            if body:
+                out.append((kf.timestamp, (self.imu_calib.Tbc * kf.Tcw).inverse()))
+            else:
+                out.append((kf.timestamp, kf.Twc))
+        return out
+
     def save_keyframe_trajectory_tum(self, path: str):
         from orbslam3_tpu.utils.trajectory import save_tum
 
-        kfs = self.atlas.get_current_map().get_all_keyframes()
-        save_tum(path, [(kf.timestamp, kf.Twc) for kf in kfs])
+        save_tum(path, self._keyframe_poses())
+
+    def save_keyframe_trajectory_euroc(self, path: str):
+        """SaveKeyFrameTrajectoryEuRoC role: ns stamps; body poses for
+        inertial configs (System.cc: GetImuPosition/GetImuRotation)."""
+        from orbslam3_tpu.utils.trajectory import save_euroc
+
+        save_euroc(
+            path, self._keyframe_poses(body_frame=self.imu_calib is not None)
+        )

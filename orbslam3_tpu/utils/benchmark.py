@@ -74,6 +74,14 @@ class Benchmark:
             self.queue.push((tag, time.time(), dt))
             self.records[tag].append(dt)
 
+    def push_sample(self, tag: str, ms: float):
+        """Record an externally-measured duration under `tag`
+        (System::Insert*Time / REGISTER_TIMES vector-push role)."""
+        if not self.enabled:
+            return
+        self.queue.push((tag, time.time(), float(ms)))
+        self.records[tag].append(float(ms))
+
     def measure_function(self, tag: str):
         """Decorator form (MEASURE_FUNC_CALL role)."""
 

@@ -342,3 +342,56 @@ def test_prefetch_pipeline_matches_synchronous(small_image):
         if a is not None:
             np.testing.assert_allclose(a.t, b.t, atol=1e-12)
             np.testing.assert_allclose(a.R, b.R, atol=1e-12)
+
+
+def test_system_small_api_parity(tmp_path):
+    """System probe/utility parity: isShutDown, isFinished, ChangeDataset,
+    GetImageScale, Insert*Time, SaveKeyFrameTrajectoryEuRoC
+    (include/System.h:131-200 roles)."""
+    import numpy as np
+
+    from orbslam3_tpu.oracle.orb_cpu import PyramidParams
+    from orbslam3_tpu.slam.system import System
+    from orbslam3_tpu.utils.benchmark import Benchmark
+    from test_fabricated_e2e import CAM, MBF, W, H, _feats_at, _pose, _world
+
+    pts, descs, rng = _world()
+    sysm = System(CAM, MBF, PyramidParams(n_features=800),
+                  sequential=True, max_frames=4)
+    for k in range(10):
+        feats = _feats_at(pts, descs, rng, _pose(k))
+        sysm.track_stereo_features(feats, k / 20.0, (0, 0, W, H))
+
+    assert sysm.get_image_scale() == 1.0
+    assert not sysm.is_finished()  # no VI init -> GetTimeFromIMUInit == 0
+
+    Benchmark.the().enabled = True
+    sysm.insert_rect_time(1.5)
+    sysm.insert_track_time(7.0)
+    assert "1.0_Track" in Benchmark.the().summary()
+
+    p = str(tmp_path / "kf_euroc.txt")
+    sysm.save_keyframe_trajectory_euroc(p)
+    rows = [l.split() for l in open(p) if l.strip()]
+    assert len(rows) == sysm.map_stats()["n_keyframes"]
+    assert float(rows[0][0]) >= 0  # ns stamps
+
+    # ChangeDataset with a small map resets in place (System.cc:1320)
+    m_before = sysm.atlas.get_current_map()
+    n_maps = sysm.atlas.count_maps()
+    if m_before.n_keyframes() < 12:
+        sysm.change_dataset()
+        assert sysm.atlas.count_maps() == n_maps
+        assert sysm.atlas.get_current_map().n_keyframes() == 0
+    # ...and a large map forks a fresh one (System.cc:1323)
+    for k in range(30):
+        feats = _feats_at(pts, descs, rng, _pose(k))
+        sysm.track_stereo_features(feats, 10.0 + k / 20.0, (0, 0, W, H))
+    if sysm.atlas.get_current_map().n_keyframes() >= 12:
+        n_maps = sysm.atlas.count_maps()
+        sysm.change_dataset()
+        assert sysm.atlas.count_maps() == n_maps + 1
+
+    assert not sysm.is_shutdown()
+    sysm.shutdown()
+    assert sysm.is_shutdown()
