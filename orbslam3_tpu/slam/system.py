@@ -818,17 +818,32 @@ class System:
         return dict(n_keyframes=m.n_keyframes(), n_map_points=m.n_map_points())
 
     # --- trajectory output (System.cc:544+) ------------------------------
-    def _first_kf_anchor(self, body_frame: bool) -> SE3:
-        """The reference's trajectory anchor: poses are expressed relative
-        to the FIRST keyframe (lowest id) of the biggest map — Two =
-        vpKFs[0]->GetPoseInverse() (System.cc SaveTrajectoryTUM), or the
-        first KF's body pose Twb0 = (Tbc * Tcw0)^-1 for the inertial
-        EuRoC saver (System.cc:634+)."""
+    def _biggest_map(self):
+        """The no-arg reference savers target the map with the most
+        keyframes (System.cc:644-655)."""
         maps = self.atlas.get_all_maps()
         if not maps:
-            return SE3()
-        m = max(maps, key=lambda mp: mp.n_keyframes())
-        kfs = sorted(m.get_all_keyframes(), key=lambda k: k.id)
+            return None
+        return max(maps, key=lambda mp: mp.n_keyframes())
+
+    def _first_kf_anchor(self, body_frame: bool, m) -> SE3:
+        """The reference's trajectory anchor: poses are expressed relative
+        to the FIRST keyframe (lowest id) of the target map — Two =
+        vpKFs[0]->GetPoseInverse() (System.cc SaveTrajectoryTUM, which
+        spans ALL maps when `m` is None), or the first KF's body pose
+        Twb0 = (Tbc * Tcw0)^-1 for the inertial EuRoC saver
+        (System.cc:634+, per-map System.cc:758-767)."""
+        if m is None:
+            kfs = sorted(
+                (
+                    kf
+                    for mp in self.atlas.get_all_maps()
+                    for kf in mp.get_all_keyframes()
+                ),
+                key=lambda k: k.id,
+            )
+        else:
+            kfs = sorted(m.get_all_keyframes(), key=lambda k: k.id)
         if not kfs:
             return SE3()
         tcw0 = kfs[0].Tcw
@@ -836,7 +851,9 @@ class System:
             return (self.imu_calib.Tbc * tcw0).inverse()  # Twb0
         return tcw0.inverse()  # Two
 
-    def frame_trajectory(self, body_frame: bool = False) -> list[tuple[float, SE3]]:
+    def frame_trajectory(
+        self, body_frame: bool = False, map_filter=None
+    ) -> list[tuple[float, SE3]]:
         """(timestamp, Twc) replaying relative poses against (possibly
         optimized) reference keyframes — SaveTrajectoryTUM semantics,
         anchored at the first keyframe like the reference
@@ -848,7 +865,16 @@ class System:
         (System.cc:634-745); EuRoC/TUM-VI ground truth lives in the body
         frame, so dataset ATE must compare in it."""
         body = body_frame and self.imu_calib is not None
-        anchor = self._first_kf_anchor(body)
+        # map_filter semantics: None → TUM/KITTI savers (all maps, anchor
+        # at the globally-first KF, System.cc:552-557); "biggest" → the
+        # no-arg EuRoC saver's biggest-map target (System.cc:644-655); a
+        # Map → the per-map overloads (System.cc:746).  When a target map
+        # is set, frames whose surviving reference KF lives in another
+        # map are skipped (System.cc:715-718)
+        target = (
+            self._biggest_map() if map_filter == "biggest" else map_filter
+        )
+        anchor = self._first_kf_anchor(body, target)
         tbc = self.imu_calib.Tbc if body else None
         out = []
         for fid, ts, tcr, ref, lost in self.tracker.trajectory:
@@ -863,6 +889,8 @@ class System:
             while kf.bad and kf.parent is not None:
                 trw = trw * getattr(kf, "Tcp", SE3())
                 kf = kf.parent
+            if target is not None and kf.map is not target:
+                continue
             tcw = tcr * trw * kf.Tcw * anchor
             if body:
                 out.append((ts, (tbc * tcw).inverse()))
@@ -880,15 +908,19 @@ class System:
 
         save_kitti(path, self.frame_trajectory())
 
-    def save_trajectory_euroc(self, path: str):
-        """SaveTrajectoryEuRoC role (System.cc:634): ns timestamps, and —
-        for inertial configs — IMU/body poses against the first KF's body
-        anchor (EuRoC/TUM-VI ground truth is in the body frame)."""
+    def save_trajectory_euroc(self, path: str, map_=None):
+        """SaveTrajectoryEuRoC role (System.cc:634; per-map overload
+        System.cc:746 via `map_`): ns timestamps, and — for inertial
+        configs — IMU/body poses against the first KF's body anchor
+        (EuRoC/TUM-VI ground truth is in the body frame)."""
         from orbslam3_tpu.utils.trajectory import save_euroc
 
         save_euroc(
             path,
-            self.frame_trajectory(body_frame=self.imu_calib is not None),
+            self.frame_trajectory(
+                body_frame=self.imu_calib is not None,
+                map_filter=map_ if map_ is not None else "biggest",
+            ),
         )
 
     def get_tracked_keypoints_un(self):
@@ -904,15 +936,13 @@ class System:
         ]
         return f.kps_un[idx] if idx else np.zeros((0, 2))
 
-    def _keyframe_poses(self, body_frame: bool = False) -> list:
-        """Sorted-by-id good keyframes of the current map as (ts, Twc) or
-        body (ts, Twb) — the reference's KF savers sort by mnId, skip bad,
-        and write GetImuPose for inertial sensors (System.cc
-        SaveKeyFrameTrajectoryTUM/EuRoC)."""
-        kfs = sorted(
-            self.atlas.get_current_map().get_all_keyframes(),
-            key=lambda k: k.id,
-        )
+    def _keyframe_poses(self, body_frame: bool = False, map_=None) -> list:
+        """Sorted-by-id good keyframes of the current map (or `map_`) as
+        (ts, Twc) or body (ts, Twb) — the reference's KF savers sort by
+        mnId, skip bad, and write GetImuPose for inertial sensors
+        (System.cc SaveKeyFrameTrajectoryTUM/EuRoC + per-map overload)."""
+        m = map_ if map_ is not None else self.atlas.get_current_map()
+        kfs = sorted(m.get_all_keyframes(), key=lambda k: k.id)
         body = body_frame and self.imu_calib is not None
         out = []
         for kf in kfs:
@@ -929,11 +959,15 @@ class System:
 
         save_tum(path, self._keyframe_poses())
 
-    def save_keyframe_trajectory_euroc(self, path: str):
-        """SaveKeyFrameTrajectoryEuRoC role: ns stamps; body poses for
-        inertial configs (System.cc: GetImuPosition/GetImuRotation)."""
+    def save_keyframe_trajectory_euroc(self, path: str, map_=None):
+        """SaveKeyFrameTrajectoryEuRoC role (per-map overload via `map_`,
+        System.h:159): ns stamps; body poses for inertial configs
+        (System.cc: GetImuPosition/GetImuRotation)."""
         from orbslam3_tpu.utils.trajectory import save_euroc
 
         save_euroc(
-            path, self._keyframe_poses(body_frame=self.imu_calib is not None)
+            path,
+            self._keyframe_poses(
+                body_frame=self.imu_calib is not None, map_=map_
+            ),
         )

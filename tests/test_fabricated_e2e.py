@@ -130,6 +130,56 @@ def test_long_run_trajectory_replay(long_run):
     assert np.median(err) < 0.02
 
 
+def test_euroc_saver_per_map_overloads(tmp_path):
+    """Per-map saver overloads (System.h:158-159, System.cc:746): with a
+    Map argument the EuRoC savers write only frames whose reference KF —
+    and only keyframes that — live in that map."""
+    pts, descs, rng = _world()
+    sysm = System(CAM, MBF, PyramidParams(n_features=800),
+                  sequential=True, max_frames=6)
+    for k in range(25):
+        feats = _feats_at(pts, descs, rng, _pose(k))
+        sysm.track_stereo_features(feats, 10.0 + k / 20.0, (0, 0, W, H))
+    maps0 = sysm.atlas.get_all_maps()
+    assert len(maps0) == 1
+    old_map = maps0[0]
+    # backward timestamp jump forks a fresh map (Tracking3.cc:66-104)
+    sysm.track_stereo_features(
+        _feats_at(pts, descs, rng, _pose(0)), 1.0, (0, 0, W, H)
+    )
+    for k in range(25):
+        feats = _feats_at(pts, descs, rng, _pose(k))
+        sysm.track_stereo_features(feats, 1.0 + k / 20.0, (0, 0, W, H))
+    new_map = sysm.atlas.get_current_map()
+    assert new_map is not old_map
+
+    def rows(p):
+        return [l.split() for l in open(p) if l.strip()]
+
+    p_old = str(tmp_path / "f_old.txt")
+    p_new = str(tmp_path / "f_new.txt")
+    sysm.save_trajectory_euroc(p_old, map_=old_map)
+    sysm.save_trajectory_euroc(p_new, map_=new_map)
+    r_old, r_new = rows(p_old), rows(p_new)
+    assert len(r_old) > 5 and len(r_new) > 5
+    # the two per-map files partition the tracked frames by timestamp era
+    assert all(float(r[0]) >= 10.0e9 - 1e3 for r in r_old)
+    assert all(float(r[0]) < 3.0e9 for r in r_new)
+    # default (no map_) targets the biggest map (System.cc:644-655)
+    big = sysm._biggest_map()
+    p_cur = str(tmp_path / "f_cur.txt")
+    sysm.save_trajectory_euroc(p_cur)
+    assert rows(p_cur) == (r_old if big is old_map else r_new)
+
+    k_old = str(tmp_path / "kf_old.txt")
+    sysm.save_keyframe_trajectory_euroc(k_old, map_=old_map)
+    kf_rows = rows(k_old)
+    assert len(kf_rows) == len(
+        [k for k in old_map.get_all_keyframes() if not k.bad]
+    )
+    assert all(float(r[0]) >= 10.0e9 - 1e3 for r in kf_rows)
+
+
 def test_euroc_saver_inertial_body_frame(tmp_path):
     """SaveTrajectoryEuRoC parity (System.cc:634-745): inertial configs
     write IMU/body poses (Twb, first-KF body anchor) in the reference's
