@@ -292,6 +292,9 @@ class LocalMapping:
         from orbslam3_tpu.imu.preintegration import Bias
         from orbslam3_tpu.utils.lie import SE3
 
+        import time as _time
+
+        t_start = _time.perf_counter()
         if min_time is None:
             # mono scale is weakly observable: wait longer (the reference
             # gates mono at 2 s vs 1 s stereo, LocalMapping.cc:186-194)
@@ -356,6 +359,17 @@ class LocalMapping:
         m.imu_initialized = True
         m.is_inertial = True
         m.imu_init_time = kf.timestamp  # System::GetTimeFromIMUInit anchor
+        # VI-init diagnostics for System.save_debug_data (the reference's
+        # mScale/mRwg/mbg/mba/mCostTime/mInitSect, LocalMapping.h + the
+        # SaveDebugData dump at System.cc:1219)
+        self.init_sect = getattr(self, "init_sect", 0) + 1
+        self.init_debug = dict(
+            scale=scale,
+            Rwg=np.asarray(r_gw.matrix() if hasattr(r_gw, "matrix") else r_gw),
+            bg=np.asarray(bg, dtype=float),
+            ba=np.zeros(3),
+            cost_time=_time.perf_counter() - t_start,
+        )
         if self.tracker is not None:
             self.tracker.update_frame_imu(t_align, scale, bias, kf)
         m.info_changed()

@@ -923,6 +923,33 @@ class System:
             ),
         )
 
+    def save_debug_data(self, init_idx: int, out_dir: str = "."):
+        """SaveDebugData role (System.cc:1219): dump the last VI-init
+        diagnostics as the reference's init_* file set — init-section
+        trajectory, scale, gravity direction (Rwg rows), computational
+        cost, and biases.  Appending files keyed by the init section
+        counter, exactly like the reference (including its
+        'FrameTrajectoy' artifact filename)."""
+        import os
+
+        dbg = getattr(self.local_mapper, "init_debug", None)
+        if dbg is None:
+            return
+        sect = getattr(self.local_mapper, "init_sect", 0)
+        self.save_trajectory_euroc(
+            os.path.join(out_dir, f"init_FrameTrajectoy_{sect}_{init_idx}.txt")
+        )
+        with open(os.path.join(out_dir, f"init_Scale_{sect}.txt"), "a") as f:
+            f.write(f"{dbg['scale']:.6f}\n")
+        with open(os.path.join(out_dir, f"init_GDir_{sect}.txt"), "a") as f:
+            for row in dbg["Rwg"]:
+                f.write(",".join(f"{v:.6f}" for v in row) + "\n")
+        with open(os.path.join(out_dir, f"init_CompCost_{sect}.txt"), "a") as f:
+            f.write(f"{dbg['cost_time']:.6f}\n")
+        with open(os.path.join(out_dir, f"init_Biases_{sect}.txt"), "a") as f:
+            f.write(",".join(f"{v:.6f}" for v in dbg["bg"]) + "\n")
+            f.write(",".join(f"{v:.6f}" for v in dbg["ba"]) + "\n")
+
     def get_tracked_keypoints_un(self):
         """Undistorted keypoints of tracked map points
         (System::GetTrackedKeyPointsUn role, include/System.h:178)."""

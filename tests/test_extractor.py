@@ -128,6 +128,18 @@ def test_select_multi_matches_single(test_image):
         np.testing.assert_array_equal(np.asarray(r), np.asarray(r_m))
         np.testing.assert_array_equal(np.asarray(v), np.asarray(v_m))
 
+    # stereo-pair layout: repeated same-shape maps (both cameras' matching
+    # levels) must stay bitwise too, including an odd group (3 copies of
+    # level 0) — guards any future same-shape batching of the pools
+    scores2 = scores + scores + scores[:1]
+    ks2 = ks + ks + ks[:1]
+    multi2 = select_topk_grid_multi(scores2, ks2)
+    for s, k, (xy_m, r_m, v_m) in zip(scores2, ks2, multi2):
+        xy, r, v = select_topk_grid(s, k)
+        np.testing.assert_array_equal(np.asarray(xy), np.asarray(xy_m))
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(r_m))
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(v_m))
+
 
 def test_merged_composite_matches_per_block_reflect():
     """The consolidated assembly (stacked strip reverses, 4-px band) is

@@ -130,6 +130,48 @@ def test_long_run_trajectory_replay(long_run):
     assert np.median(err) < 0.02
 
 
+def test_save_debug_data_vi_init_dump(tmp_path):
+    """SaveDebugData parity (System.cc:1219): the init_* diagnostic file
+    set carries scale, Rwg rows, cost and biases.  The stash itself is
+    populated by _try_initialize_imu (asserted by the TUM-VI inertial
+    e2e); here a 30-frame run + a representative stash pins the dump
+    format end-to-end through the EuRoC saver."""
+    from orbslam3_tpu.imu.preintegration import Calib
+    from orbslam3_tpu.utils.lie import so3_exp as _exp
+
+    pts, descs, rng = _world()
+    sysm = System(CAM, MBF, PyramidParams(n_features=800),
+                  sequential=True, max_frames=6, imu_calib=Calib(SE3()))
+    acc = np.array([0.05, 0.0, 9.81])
+    gyro = np.array([0.0, 0.02, 0.0])
+    for k in range(30):
+        feats = _feats_at(pts, descs, rng, _pose(k))
+        imu = (np.tile(acc, (10, 1)), np.tile(gyro, (10, 1)),
+               np.full(10, 0.005)) if k > 0 else None
+        sysm.track_stereo_features(feats, k / 20.0, (0, 0, W, H), imu=imu)
+    sysm.local_mapper.init_sect = 1
+    sysm.local_mapper.init_debug = dict(
+        scale=1.0, Rwg=_exp(np.array([0.02, -0.01, 0.0])),
+        bg=np.array([1e-3, -2e-3, 5e-4]), ba=np.zeros(3), cost_time=0.12,
+    )
+    sysm.save_debug_data(0, str(tmp_path))
+    sect = sysm.local_mapper.init_sect
+    scale = float(open(tmp_path / f"init_Scale_{sect}.txt").read().strip())
+    assert scale == 1.0
+    rwg = np.array([
+        [float(v) for v in l.split(",")]
+        for l in open(tmp_path / f"init_GDir_{sect}.txt")
+    ])
+    assert rwg.shape == (3, 3)
+    np.testing.assert_allclose(rwg @ rwg.T, np.eye(3), atol=1e-5)
+    cost = float(open(tmp_path / f"init_CompCost_{sect}.txt").read().strip())
+    assert cost > 0
+    biases = [l for l in open(tmp_path / f"init_Biases_{sect}.txt")]
+    assert len(biases) == 2
+    traj = list(tmp_path.glob(f"init_FrameTrajectoy_{sect}_0.txt"))
+    assert traj and len(open(traj[0]).readlines()) > 5
+
+
 def test_euroc_saver_per_map_overloads(tmp_path):
     """Per-map saver overloads (System.h:158-159, System.cc:746): with a
     Map argument the EuRoC savers write only frames whose reference KF —

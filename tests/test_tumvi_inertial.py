@@ -120,6 +120,16 @@ def test_tumvi_stereo_fisheye_inertial_e2e():
     assert m.imu_initialized, "VI init never completed on the KB8 stereo rig"
     assert m.is_inertial
 
+    # VI init stashed its diagnostics for System.save_debug_data
+    # (the reference's mScale/mRwg/mbg/mCostTime, System.cc:1219)
+    dbg = sysm.local_mapper.init_debug
+    assert sysm.local_mapper.init_sect >= 1
+    assert dbg["scale"] == 1.0  # stereo fixes scale
+    np.testing.assert_allclose(
+        dbg["Rwg"] @ dbg["Rwg"].T, np.eye(3), atol=1e-6
+    )
+    assert dbg["cost_time"] > 0 and np.linalg.norm(dbg["bg"]) < 0.01
+
     # stereo fixes metric scale; VI init must NOT rescale the map
     # (the round-3 velocity double-scaling bug would shift this 4-7x)
     p_est = np.stack([T.inverse().t for T in est])
