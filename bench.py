@@ -282,7 +282,7 @@ def pallas_parity_checks(jax) -> dict:
     hi = jnp.where(raw >= 20, raw, 0)
     lo = jnp.where(raw >= 7, raw, 0)
     tmax = jax.lax.reduce_window(
-        hi, jnp.int32(0), jax.lax.max, (32, 32), (32, 32), "VALID"
+        hi, jnp.zeros((), hi.dtype), jax.lax.max, (32, 32), (32, 32), "VALID"
     )
     use_hi = jnp.repeat(jnp.repeat(tmax > 0, 32, axis=0), 32, axis=1)
     want_d = np.asarray(fast_mod.nms3(jnp.where(use_hi, hi, lo)))

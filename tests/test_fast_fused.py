@@ -17,8 +17,8 @@ def _xla_detect(comp, mask, ini_th, min_th):
     hi = jnp.where(raw >= ini_th, raw, 0)
     lo = jnp.where(raw >= min_th, raw, 0)
     tile_max = jax.lax.reduce_window(
-        hi, jnp.int32(0), jax.lax.max, (F.TILE, F.TILE), (F.TILE, F.TILE),
-        "VALID",
+        hi, jnp.zeros((), hi.dtype), jax.lax.max,
+        (F.TILE, F.TILE), (F.TILE, F.TILE), "VALID",
     )
     use_hi = jnp.repeat(
         jnp.repeat(tile_max > 0, F.TILE, axis=0), F.TILE, axis=1
