@@ -35,7 +35,7 @@ from orbslam3_tpu.utils.synth import (  # noqa: E402
 from orbslam3_tpu.vocab.vocabulary import BinaryVocabulary  # noqa: E402
 
 
-def main(n: int = 400, depth: int = 4) -> None:
+def main(n: int = 400, depth: int = 4, sequential: bool = False) -> None:
     fx = 350.0
     h, w = 480, 752
     camera = Pinhole([fx, fx, w / 2, h / 2])
@@ -65,7 +65,7 @@ def main(n: int = 400, depth: int = 4) -> None:
     sysm.shutdown()
     sysm = System(
         camera, mbf, PyramidParams(n_features=1000),
-        sequential=False, vocabulary=voc,
+        sequential=sequential, vocabulary=voc,
     )
 
     est, gt, times = [], [], []
@@ -113,4 +113,5 @@ if __name__ == "__main__":
     main(
         int(sys.argv[1]) if len(sys.argv) > 1 else 400,
         int(sys.argv[2]) if len(sys.argv) > 2 else 4,
+        sequential="--sequential" in sys.argv,
     )
