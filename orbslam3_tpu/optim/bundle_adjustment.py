@@ -48,6 +48,11 @@ class BAProblem:
     fixed_cams: np.ndarray
     camera: object
     mbf: float
+    # fisheye dual-camera observations: right rows project through
+    # Trl + camera2 (EdgeSE3ProjectXYZToBody, include/OptimizableTypes.h:117)
+    is_right: np.ndarray | None = None
+    camera2: object = None
+    Trl: object = None
 
 
 def _pack(poses):
@@ -56,13 +61,33 @@ def _pack(poses):
     return r, t
 
 
+def _project_rows(pc, pr):
+    """Per-row projection (left rows: camera; right rows: Trl then camera2,
+    with Trl.R folded into the returned Jacobian by the chain rule)."""
+    ir = getattr(pr, "is_right", None)
+    if ir is None or not ir.any():
+        return pr.camera.project(pc), pr.camera.project_jac(pc)
+    n = len(pc)
+    uv = np.empty((n, 2))
+    jp = np.empty((n, 2, 3))
+    il = ~ir
+    if il.any():
+        uv[il] = pr.camera.project(pc[il])
+        jp[il] = pr.camera.project_jac(pc[il])
+    r2, t2 = pr.Trl.R, pr.Trl.t
+    pc_r = pc[ir] @ r2.T + t2
+    uv[ir] = pr.camera2.project(pc_r)
+    jp[ir] = pr.camera2.project_jac(pc_r) @ r2
+    return uv, jp
+
+
 def _residuals_jacs(r, t, points, pr):
     """All-observation residuals (O, 3) and Jacobians (O, 3, 6), (O, 3, 3)."""
     rc = r[pr.cam_idx]                       # (O, 3, 3)
     tc = t[pr.cam_idx]
     pw = points[pr.pt_idx]
     pc = (rc @ pw[..., None])[..., 0] + tc   # (O, 3)
-    uv = pr.camera.project(pc)
+    uv, jproj = _project_rows(pc, pr)
     res_uv = pr.obs_uv - uv
     stereo = pr.obs_ur >= 0
     z = np.maximum(pc[:, 2], 1e-9)
@@ -70,7 +95,6 @@ def _residuals_jacs(r, t, points, pr):
     res_ur = np.where(stereo, pr.obs_ur - ur_pred, 0.0)
     res = np.concatenate([res_uv, res_ur[:, None]], axis=1)
 
-    jproj = pr.camera.project_jac(pc)        # (O, 2, 3)
     o = len(pc)
     dpc_dxi = np.concatenate(
         [np.broadcast_to(np.eye(3), (o, 3, 3)), -hat(pc)], axis=2
@@ -136,6 +160,7 @@ def bundle_adjust(
         isinstance(pr.camera, Pinhole)
         and not getattr(pr.camera, "no_native", False)
         and len(pr.cam_idx)
+        and (pr.is_right is None or not pr.is_right.any())
     )
     if use_native:
         from orbslam3_tpu import native

@@ -72,8 +72,17 @@ def local_bundle_adjustment(kf, map_, abort_flag=None, max_fixed: int = 200):
         np.int64,
         count=len(obs_kfs),
     )
-    i_e = np.where(left_a >= 0, left_a, right_a)
-    keep = (slot_by_kf[kfi] >= 0) & (i_e >= 0) if len(kfi) else np.zeros(0, bool)
+    # One edge per SET slot: a fisheye dual observation (left AND right
+    # index) contributes TWO edges — the left one through the KF's camera,
+    # the right one through Trl + camera2 (EdgeSE3ProjectXYZToBody; the
+    # reference's LocalBundleAdjustment builds vpEdgesBody alongside
+    # vpEdgesMono, src/Optimizer2.cc:485,610).  Pinhole KFs have right == -1
+    # everywhere, so this reduces to the single-edge layout there.
+    has_l, has_r = left_a >= 0, right_a >= 0
+    grp = np.concatenate([grp[has_l], grp[has_r]])
+    kfi = np.concatenate([kfi[has_l], kfi[has_r]])
+    i_e = np.concatenate([left_a[has_l], right_a[has_r]])
+    keep = slot_by_kf[kfi] >= 0 if len(kfi) else np.zeros(0, bool)
     grp, kfi, i_e = grp[keep], kfi[keep], i_e[keep]
     cam_idx = slot_by_kf[kfi]
     pt_idx = grp
@@ -83,6 +92,7 @@ def local_bundle_adjustment(kf, map_, abort_flag=None, max_fixed: int = 200):
     uv = np.empty((n_e, 2))
     ur = np.empty(n_e)
     inv_s2 = np.empty(n_e)
+    is_right = np.zeros(n_e, bool)
     # group edges by KF with one argsort (O(E log E), not O(E x KFs))
     order = np.argsort(kfi, kind="stable")
     kfi_s = kfi[order]
@@ -94,6 +104,7 @@ def local_bundle_adjustment(kf, map_, abort_flag=None, max_fixed: int = 200):
         uv[sel] = k.kps_un[ii]
         ur[sel] = k.u_right[ii]
         inv_s2[sel] = k.inv_level_sigma2[k.octave[ii]]
+        is_right[sel] = ii >= k.n_left
     fixed_mask = np.zeros(len(all_kfs), bool)
     fixed_mask[len(local_kfs):] = True
     if not fixed_mask.any():
@@ -110,6 +121,9 @@ def local_bundle_adjustment(kf, map_, abort_flag=None, max_fixed: int = 200):
         fixed_cams=fixed_mask,
         camera=kf.camera,
         mbf=kf.mbf,
+        is_right=is_right if is_right.any() else None,
+        camera2=kf.camera2,
+        Trl=kf.Trl,
     )
     poses, points, chi2 = bundle_adjust(pr, n_iters=5)
     # second stage without outliers
@@ -132,11 +146,16 @@ def local_bundle_adjustment(kf, map_, abort_flag=None, max_fixed: int = 200):
     bad = chi2 > th
     n_erased = 0
     for o in np.nonzero(bad)[0]:
-        k, i, mp = obs_kfs[kfi[o]], int(i_e[o]), local_mps[pt_idx[o]]
+        k, mp = obs_kfs[kfi[o]], local_mps[pt_idx[o]]
         if pr.fixed_cams[kf_slot[k]]:
             continue
+        if k not in mp.observations:
+            continue  # both edges of a dual observation were outliers
+        # erase the WHOLE observation — both slots for a fisheye dual
+        # observation (the reference's EraseMapPointMatch + EraseObservation
+        # pair on either a mono or a body outlier edge)
+        k.erase_map_point_match(mp)
         mp.erase_observation(k)
-        k.erase_map_point_index(i)
         n_erased += 1
     map_.info_changed()
     return len(local_kfs)

@@ -28,20 +28,50 @@ CHI2_STEREO = 7.815
 
 @dataclass
 class PoseObservations:
-    """Matched observations for one frame (already associated to map points)."""
+    """Matched observations for one frame (already associated to map points).
 
-    p3d_w: np.ndarray        # (N, 3) world points
+    `is_right`/`camera2`/`Trl` carry fisheye right-camera observations: a
+    right row's residual is obs - camera2.project(Trl * (Tcw * Xw)) — the
+    reference's EdgeSE3ProjectXYZOnlyPoseToBody
+    (/root/reference/include/OptimizableTypes.h:59)."""
+
+    p3d_w: np.ndarray        # (N, 2) world points
     obs_uv: np.ndarray       # (N, 2) keypoint pixels (undistorted)
     obs_ur: np.ndarray       # (N,) right-u for stereo obs, <0 if mono
     inv_sigma2: np.ndarray   # (N,) per-obs information (by octave)
     camera: object           # GeometricCamera
     mbf: float = 0.0
+    is_right: np.ndarray | None = None  # (N,) bool — right-camera obs
+    camera2: object = None
+    Trl: SE3 | None = None   # left camera -> right camera
+
+
+def _project_rows(pc: np.ndarray, o):
+    """Per-row projection: left rows through `camera`, right rows through
+    Trl + `camera2` (chain rule folds Trl.R into the projection Jacobian,
+    matching EdgeSE3ProjectXYZ(OnlyPose)ToBody::linearizeOplus).
+    Returns (uv (N,2), jproj (N,2,3) wrt the LEFT-camera point pc)."""
+    ir = getattr(o, "is_right", None)
+    if ir is None or not ir.any():
+        return o.camera.project(pc), o.camera.project_jac(pc)
+    n = len(pc)
+    uv = np.empty((n, 2))
+    jp = np.empty((n, 2, 3))
+    il = ~ir
+    if il.any():
+        uv[il] = o.camera.project(pc[il])
+        jp[il] = o.camera.project_jac(pc[il])
+    r2, t2 = o.Trl.R, o.Trl.t
+    pc_r = pc[ir] @ r2.T + t2
+    uv[ir] = o.camera2.project(pc_r)
+    jp[ir] = o.camera2.project_jac(pc_r) @ r2
+    return uv, jp
 
 
 def _residuals_jac(T: SE3, o: PoseObservations):
     """Residuals (N, 3) [du, dv, dur] with dur=0 for mono, plus (N, 3, 6) J."""
     pc = o.p3d_w @ T.R.T + T.t
-    uv = o.camera.project(pc)
+    uv, jproj = _project_rows(pc, o)
     r_uv = o.obs_uv - uv
     stereo = o.obs_ur >= 0
     z = pc[:, 2]
@@ -50,7 +80,6 @@ def _residuals_jac(T: SE3, o: PoseObservations):
     res = np.concatenate([r_uv, r_ur[:, None]], axis=1)  # (N, 3)
 
     # d pc / d xi (left increment): [I | -hat(pc)]
-    jproj = o.camera.project_jac(pc)  # (N, 2, 3)
     dpc = np.concatenate(
         [np.broadcast_to(np.eye(3), (len(pc), 3, 3)), -hat(pc)], axis=2
     )  # (N, 3, 6)
@@ -87,7 +116,9 @@ def pose_optimization(
     n = len(obs.p3d_w)
     if n < 3:
         return T_init.copy(), np.zeros(n, bool), 0
-    if type(obs.camera).__name__ == "Pinhole":
+    if type(obs.camera).__name__ == "Pinhole" and (
+        obs.is_right is None or not obs.is_right.any()
+    ):
         from orbslam3_tpu import native
 
         res = (

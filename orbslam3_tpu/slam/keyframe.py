@@ -36,7 +36,16 @@ class KeyFrame:
         self.u_right = frame.u_right
         self.depth = frame.depth
         self.n = frame.n
-        self.n_left = frame.n  # pinhole stereo: all kps are "left"
+        # fisheye dual-camera layout (NLeft/NRight, include/KeyFrame.h:508-529);
+        # pinhole stereo keeps n_left == n (all kps are "left")
+        self.n_left = getattr(frame, "n_left", frame.n)
+        self.n_right = getattr(frame, "n_right", 0)
+        self.Tlr = getattr(frame, "Tlr", None)
+        self.Trl = getattr(frame, "Trl", None)
+        self.left_to_right = getattr(frame, "left_to_right", None)
+        self.right_to_left = getattr(frame, "right_to_left", None)
+        self.stereo_p3d = getattr(frame, "stereo_p3d", None)
+        self._right_view = None
         self.camera = frame.camera
         self.camera2 = getattr(frame, "camera2", None)
         self.mbf = frame.mbf
@@ -124,15 +133,54 @@ class KeyFrame:
     def camera_center(self) -> np.ndarray:
         return self.Twc.t
 
-    def features_in_area(self, x, y, r, min_level=-1, max_level=-1):
-        return self._frame.features_in_area(x, y, r, min_level, max_level)
+    def features_in_area(self, x, y, r, min_level=-1, max_level=-1, right=False):
+        return self._frame.features_in_area(x, y, r, min_level, max_level, right)
+
+    @property
+    def is_fisheye(self) -> bool:
+        return self.camera2 is not None
+
+    def get_right_pose(self) -> SE3:
+        """World -> right camera (GetRightPose, KeyFrame.h:521)."""
+        return (self.Trl * self.Tcw).normalized()
+
+    def right_camera_center(self) -> np.ndarray:
+        return self.get_right_pose().inverse().t
+
+    def right_view(self):
+        """Right-camera facet (shares _RightCameraView with Frame; uses
+        THIS keyframe's map_points/pose, the source frame's grid)."""
+        from orbslam3_tpu.slam.frame import _RightCameraView
+
+        if self._right_view is None:
+            self._right_view = _RightCameraView(self)
+        return self._right_view
+
+    @property
+    def _grid_w(self):
+        return self._frame._grid_w
+
+    @property
+    def _grid_h(self):
+        return self._frame._grid_h
 
     def unproject_stereo(self, i: int):
         z = self.depth[i]
         if z <= 0:
             return None
+        if self.stereo_p3d is not None and i < self.n_left:
+            return self.Twc * self.stereo_p3d[i]
         ray = self.camera.unproject(self.kps_un[i : i + 1])[0]
         return self.Twc * (ray * z)
+
+    def erase_map_point_match(self, mp):
+        """Clear EVERY slot holding `mp` (left and right for fisheye dual
+        observations — KeyFrame::EraseMapPointMatch(MapPoint*))."""
+        left, right = mp.observations.get(self, (-1, -1))
+        for idx in (left, right):
+            if idx >= 0 and self.map_points[idx] is mp:
+                self.map_points[idx] = None
+        self._mp_version += 1
 
     # --- covisibility --------------------------------------------------
     def update_connections(self, parent_candidates=True):

@@ -96,12 +96,22 @@ class MapPoint:
 
     # ------------------------------------------------------------------
     def add_observation(self, kf, idx: int):
+        """Record (left, right) slot indices for kf.  n_obs accounting
+        follows MapPoint::AddObservation: pinhole stereo counts 2 for a
+        keypoint with a right-u measurement, fisheye (camera2 present)
+        counts +1 PER camera index — a dual left+right observation is two
+        constraints."""
         left, right = self.observations.get(kf, (-1, -1))
         if idx >= kf.n_left:
+            was_set = right >= 0
             right = idx
         else:
+            was_set = left >= 0
             left = idx
-        if self.observations.get(kf, (-1, -1)) == (-1, -1):
+        if getattr(kf, "camera2", None) is not None:
+            if not was_set:
+                self.n_obs += 1
+        elif self.observations.get(kf, (-1, -1)) == (-1, -1):
             self.n_obs += 2 if (left >= 0 and kf.u_right[left] >= 0) else 1
         self.observations[kf] = (left, right)
         self._sync_nobs()
@@ -109,7 +119,9 @@ class MapPoint:
     def erase_observation(self, kf):
         if kf in self.observations:
             left, right = self.observations.pop(kf)
-            if left >= 0 and kf.u_right[left] >= 0:
+            if getattr(kf, "camera2", None) is not None:
+                self.n_obs -= (left >= 0) + (right >= 0)
+            elif left >= 0 and kf.u_right[left] >= 0:
                 self.n_obs -= 2
             else:
                 self.n_obs -= 1

@@ -139,11 +139,16 @@ def search_by_projection_cands(frame, cands, proj, n_obs, desc,
         return 0
     if native.available():
         occupied = _occupied_mask(frame)
+        # fisheye frames: the kernel builds its own grid over the arrays it
+        # receives, so pass only the left-camera block (right keypoints live
+        # in right-image coordinates — the right pass runs via right_view())
+        nl = frame.n_left
         res = native.project_match_local(
             np.ascontiguousarray(proj, np.float32),
             np.ascontiguousarray(desc, np.uint8),
             (np.asarray(n_obs) > 0).astype(np.uint8),
-            frame.kps_un, frame.octave, frame.desc, frame.u_right, occupied,
+            frame.kps_un[:nl], frame.octave[:nl], frame.desc[:nl],
+            frame.u_right[:nl], occupied[:nl],
             frame.scale_factors, th, ratio, MATCH_TH,
             frame.min_x, frame.min_y, frame._grid_w, frame._grid_h,
         )
@@ -247,21 +252,24 @@ def search_by_projection_cands_device(frame, cands, proj5, desc,
         frame.scale_factors, np_.float32
     )[level]
     desc = np_.ascontiguousarray(desc, np_.uint8)
+    # fisheye frames: match only the left-camera block (right keypoints are
+    # in right-image coordinates; the right pass runs via right_view())
+    nl = frame.n_left
     # pad to shape buckets so jit caches stay warm across frames
     mb = int(np_.ceil(m / 1024) * 1024)
-    kb = int(np_.ceil(frame.n / 512) * 512)
+    kb = int(np_.ceil(nl / 512) * 512)
     pad_m = mb - m
-    pad_k = kb - frame.n
-    occupied = _occupied_mask(frame).astype(bool)
+    pad_k = kb - nl
+    occupied = _occupied_mask(frame).astype(bool)[:nl]
     idx, best, matched = dm.search_by_projection_batch(
         jnp.asarray(np_.pad(proj, ((0, pad_m), (0, 0)))),
         jnp.asarray(np_.pad(level, (0, pad_m))),
         jnp.asarray(np_.pad(radius, (0, pad_m))),
         jnp.asarray(np_.pad(desc, ((0, pad_m), (0, 0)))),
         jnp.asarray(np_.pad(np_.ones(m, bool), (0, pad_m))),
-        jnp.asarray(np_.pad(frame.kps_un.astype(np_.float32), ((0, pad_k), (0, 0)))),
-        jnp.asarray(np_.pad(frame.octave, (0, pad_k))),
-        jnp.asarray(np_.pad(frame.desc, ((0, pad_k), (0, 0)))),
+        jnp.asarray(np_.pad(frame.kps_un[:nl].astype(np_.float32), ((0, pad_k), (0, 0)))),
+        jnp.asarray(np_.pad(frame.octave[:nl], (0, pad_k))),
+        jnp.asarray(np_.pad(frame.desc[:nl], ((0, pad_k), (0, 0)))),
         jnp.asarray(np_.pad(~occupied, (0, pad_k), constant_values=False)),
         th_desc=MATCH_TH,
         ratio=ratio,

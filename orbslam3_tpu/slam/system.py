@@ -224,20 +224,29 @@ class System:
             img_l, img_r, self.orb_params, self.lapping1, self.lapping2
         )
         level_sigma2 = np.asarray(self.scale_factors, np.float64) ** 2
-        depth, _matches, _p3d = compute_stereo_fisheye_matches(
+        tlr = self.Tlr if self.Tlr is not None else SE3()
+        depth_l, l2r, r2l, p3d_l = compute_stereo_fisheye_matches(
             fl, fr, self.camera, self.camera2 or self.camera,
-            self.Tlr if self.Tlr is not None else SE3(),
-            level_sigma2,
+            tlr, level_sigma2,
         )
-        n = len(fl["kps"])
+        # Concatenated Nleft/Nright frame layout (reference fisheye Frame
+        # ctor, src/Frame.cc:1089-1135): left block then right block; right
+        # keypoints are first-class observation slots.
+        n_l, n_r = len(fl["kps"]), len(fr["kps"])
         return dict(
-            kps=fl["kps"],
-            octave=fl["octave"],
-            angle=fl["angle"],
-            response=fl["response"],
-            desc=fl["desc"],
-            u_right=np.full(n, -1.0),
-            depth=depth,
+            kps=np.concatenate([fl["kps"], fr["kps"]]),
+            octave=np.concatenate([fl["octave"], fr["octave"]]),
+            angle=np.concatenate([fl["angle"], fr["angle"]]),
+            response=np.concatenate([fl["response"], fr["response"]]),
+            desc=np.concatenate([fl["desc"], fr["desc"]]),
+            u_right=np.full(n_l + n_r, -1.0),
+            depth=np.concatenate([depth_l, np.full(n_r, -1.0)]),
+            n_left=n_l,
+            camera2=self.camera2 or self.camera,
+            Tlr=tlr,
+            left_to_right=l2r,
+            right_to_left=r2l,
+            stereo_p3d=p3d_l,
         )
 
     def track_stereo(
@@ -269,6 +278,12 @@ class System:
             u_right=feats["u_right"],
             depth=feats["depth"],
             mbf=self.mbf,
+            n_left=feats.get("n_left"),
+            camera2=feats.get("camera2"),
+            Tlr=feats.get("Tlr"),
+            left_to_right=feats.get("left_to_right"),
+            right_to_left=feats.get("right_to_left"),
+            stereo_p3d=feats.get("stereo_p3d"),
         )
         frame.set_image_bounds(0, 0, img_l.shape[1], img_l.shape[0])
         if self.vocabulary is not None:

@@ -221,6 +221,15 @@ class Tracking:
             tcr = SE3()
         self.trajectory.append((f.id, f.timestamp, tcr, self.ref_kf, lost))
 
+    @staticmethod
+    def _right_slot_of(frame, i: int) -> int:
+        """Global slot index of the right-camera keypoint stereo-matched to
+        left keypoint i, or -1 (fisheye frames only)."""
+        l2r = getattr(frame, "left_to_right", None)
+        if l2r is None or i >= frame.n_left or l2r[i] < 0:
+            return -1
+        return frame.n_left + int(l2r[i])
+
     def _stereo_initialization(self, frame: Frame):
         """Tracking3.cc:584: needs >500 kps; map from stereo depths."""
         if frame.n <= 500:
@@ -240,10 +249,17 @@ class Tracking:
             mp = MapPoint(pw, kf, m)
             mp.add_observation(kf, i)
             kf.add_map_point(mp, i)
+            frame.map_points[i] = mp
+            # fisheye: the matched right keypoint is a second first-class
+            # observation of the same point (mvpMapPoints[Nleft + match])
+            j = self._right_slot_of(frame, i)
+            if j >= 0:
+                mp.add_observation(kf, j)
+                kf.add_map_point(mp, j)
+                frame.map_points[j] = mp
             mp.compute_distinctive_descriptor()
             mp.update_normal_and_depth()
             m.add_map_point(mp)
-            frame.map_points[i] = mp
             n_pts += 1
         if n_pts < 100:
             return
@@ -442,6 +458,11 @@ class Tracking:
             inv_sigma2=f.inv_level_sigma2[f.octave[idx]],
             camera=f.camera,
             mbf=f.mbf,
+            # fisheye dual-camera: slots >= n_left are right-camera
+            # observations -> body-frame (Trl) reprojection edges
+            is_right=(idx >= f.n_left) if f.camera2 is not None else None,
+            camera2=f.camera2,
+            Trl=f.Trl,
         )
         T, inlier, n_in = pose_optimization(f.Tcw, obs)
         f.set_pose(T)
@@ -804,8 +825,13 @@ class Tracking:
                     mp_new = MapPoint(pw, kf, m)
                     mp_new.add_observation(kf, i)
                     kf.add_map_point(mp_new, i)
-                    m.add_map_point(mp_new)
                     f.map_points[i] = mp_new
+                    j = self._right_slot_of(f, i)
+                    if j >= 0:  # fisheye dual observation
+                        mp_new.add_observation(kf, j)
+                        kf.add_map_point(mp_new, j)
+                        f.map_points[j] = mp_new
+                    m.add_map_point(mp_new)
                     fresh.append(mp_new)
                     n_new += 1
                 if z[i] > self.depth_th and n_new > 100:

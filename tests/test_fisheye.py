@@ -42,11 +42,16 @@ def test_fisheye_stereo_depth_vs_gt(fisheye_scene):
     assert feat_l["mono_index"] == 0  # everything is in the lapping area
 
     T_lr = SE3(np.eye(3), np.array([BASELINE, 0.0, 0.0]))  # right -> left coords
-    depth, matches, p3d = compute_stereo_fisheye_matches(
+    depth, l2r, r2l, p3d_l = compute_stereo_fisheye_matches(
         feat_l, feat_r, cam, cam, T_lr,
         PyramidParams().level_sigma2,
     )
-    assert len(matches) > 80, len(matches)
+    assert (l2r >= 0).sum() > 80, (l2r >= 0).sum()
+    # match index books are mutually consistent and the stereo point's z is
+    # the recorded depth
+    for i in np.nonzero(l2r >= 0)[0][:50]:
+        assert r2l[l2r[i]] == i
+        assert abs(p3d_l[i][2] - depth[i]) < 1e-9
 
     # ground-truth depth: intersect left-cam rays with the plane
     m = depth > 0
