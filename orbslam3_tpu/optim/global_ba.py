@@ -40,8 +40,14 @@ def build_global_ba(m):
         np.int64,
         count=len(obs_kfs),
     )
-    i_e = np.where(left_a >= 0, left_a, right_a)
-    keep = (slot_by_kf[kfi] >= 0) & (i_e >= 0) if len(kfi) else np.zeros(0, bool)
+    # one edge per SET slot — fisheye dual observations contribute a left
+    # edge AND a body-frame right edge (EdgeSE3ProjectXYZToBody; same
+    # layout as local_ba.py)
+    has_l, has_r = left_a >= 0, right_a >= 0
+    grp = np.concatenate([grp[has_l], grp[has_r]])
+    kfi = np.concatenate([kfi[has_l], kfi[has_r]])
+    i_e = np.concatenate([left_a[has_l], right_a[has_r]])
+    keep = slot_by_kf[kfi] >= 0 if len(kfi) else np.zeros(0, bool)
     grp, kfi, i_e = grp[keep], kfi[keep], i_e[keep]
     cam_idx = slot_by_kf[kfi]
     pt_idx = old_idx[grp]
@@ -51,6 +57,7 @@ def build_global_ba(m):
     uv = np.empty((n_e, 2))
     ur = np.empty(n_e)
     is2 = np.empty(n_e)
+    is_right = np.zeros(n_e, bool)
     # group edges by KF with one argsort (O(E log E), not O(E x KFs))
     order = np.argsort(kfi, kind="stable")
     kfi_s = kfi[order]
@@ -62,6 +69,7 @@ def build_global_ba(m):
         uv[sel] = k.kps_un[ii]
         ur[sel] = k.u_right[ii]
         is2[sel] = k.inv_level_sigma2[k.octave[ii]]
+        is_right[sel] = ii >= getattr(k, "n_left", len(k.kps_un))
     fixed = np.zeros(len(kfs), bool)
     fixed[0] = True
     pr = BAProblem(
@@ -75,6 +83,9 @@ def build_global_ba(m):
         fixed_cams=fixed,
         camera=kfs[0].camera,
         mbf=kfs[0].mbf,
+        is_right=is_right if is_right.any() else None,
+        camera2=getattr(kfs[0], "camera2", None),
+        Trl=getattr(kfs[0], "Trl", None),
     )
     return kfs, mps, pr
 
@@ -210,7 +221,7 @@ def full_inertial_ba(m, calib, n_alternations: int = 2, opt_scale: bool = False,
         preints = [chain[i + 1].imu_preint for i in range(len(chain) - 1)]
         if any(p is None for p in preints):
             return (0, s_total, s_center_out) if opt_scale else 0
-        kf_idx, pw, uv, ur, is2 = [], [], [], [], []
+        kf_idx, pw, uv, ur, is2, isr = [], [], [], [], [], []
         for i, k in enumerate(chain):
             for j, mp in k.get_map_point_indices():
                 kf_idx.append(i)
@@ -218,6 +229,7 @@ def full_inertial_ba(m, calib, n_alternations: int = 2, opt_scale: bool = False,
                 uv.append(k.kps_un[j])
                 ur.append(k.u_right[j])
                 is2.append(k.inv_level_sigma2[k.octave[j]])
+                isr.append(j >= getattr(k, "n_left", len(k.kps_un)))
         obs = dict(
             kf_idx=np.asarray(kf_idx),
             pw=np.asarray(pw, np.float64),
@@ -226,6 +238,13 @@ def full_inertial_ba(m, calib, n_alternations: int = 2, opt_scale: bool = False,
             inv_sigma2=np.asarray(is2, np.float64),
             camera=tail.camera,
             mbf=tail.mbf,
+            is_right=(
+                np.asarray(isr, bool)
+                if getattr(tail, "camera2", None) is not None
+                else None
+            ),
+            camera2=getattr(tail, "camera2", None),
+            Trl=getattr(tail, "Trl", None),
         )
         fixed = np.zeros(len(chain), bool)
         fixed[0] = True

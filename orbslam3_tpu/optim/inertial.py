@@ -58,14 +58,29 @@ def _residuals(
     Tcb: SE3,
     w_inertial: np.ndarray,
     w_bias: np.ndarray,
+    is_right: np.ndarray | None = None,
+    camera2=None,
+    Trl: SE3 | None = None,
 ) -> np.ndarray:
-    """Stacked weighted residual vector."""
+    """Stacked weighted residual vector.
+
+    `is_right`/`camera2`/`Trl`: fisheye dual-camera rows project through
+    the rig's right camera (the reference's EdgeMono with camera index 1,
+    include/G2oTypes.h — VertexPose carries both cameras)."""
     out = []
     # --- visual (camera = Tcb * body^-1 in world) -------------------------
     Tcw = Tcb * s.Twb.inverse()
     pc = obs_pw @ Tcw.R.T + Tcw.t
     z = np.maximum(pc[:, 2], 1e-9)
-    uv = camera.project(pc)
+    if is_right is not None and is_right.any():
+        uv = np.empty((len(pc), 2))
+        il = ~is_right
+        if il.any():
+            uv[il] = camera.project(pc[il])
+        pc_r = pc[is_right] @ Trl.R.T + Trl.t
+        uv[is_right] = camera2.project(pc_r)
+    else:
+        uv = camera.project(pc)
     w = np.sqrt(inv_sigma2)
     r_uv = (obs_uv - uv) * w[:, None]
     # huber on the visual rows (delta ~ sqrt(5.991))
@@ -160,6 +175,9 @@ def pose_inertial_optimization_prior(
     prev_fixed: bool = False,
     n_iters: int = 8,
     sigma_floor: tuple = (2e-3, 0.03, 3e-3),
+    is_right: np.ndarray | None = None,
+    camera2=None,
+    Trl: SE3 | None = None,
 ) -> tuple[VIState, VIState, ConstraintPoseImu]:
     """Frame-to-frame VI optimization with marginalized-prior carry-over.
 
@@ -195,6 +213,7 @@ def pose_inertial_optimization_prior(
             _residuals(
                 s_cur, s_prev, pre, obs_pw, obs_uv, obs_ur, inv_sigma2,
                 camera, mbf, Tcb, w_inertial, w_bias,
+                is_right=is_right, camera2=camera2, Trl=Trl,
             )
         ]
         if w_prior is not None and not prev_fixed:

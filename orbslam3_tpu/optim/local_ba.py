@@ -104,7 +104,7 @@ def local_bundle_adjustment(kf, map_, abort_flag=None, max_fixed: int = 200):
         uv[sel] = k.kps_un[ii]
         ur[sel] = k.u_right[ii]
         inv_s2[sel] = k.inv_level_sigma2[k.octave[ii]]
-        is_right[sel] = ii >= k.n_left
+        is_right[sel] = ii >= getattr(k, "n_left", len(k.kps_un))
     fixed_mask = np.zeros(len(all_kfs), bool)
     fixed_mask[len(local_kfs):] = True
     if not fixed_mask.any():

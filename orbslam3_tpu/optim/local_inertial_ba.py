@@ -108,7 +108,25 @@ def _visual_block(states, Tcb: SE3, obs, log_scale: float = 0.0,
     pb = ((pw - p)[:, None, :] @ R)[:, 0, :]          # R^T (pw - p)
     pc = pb @ Rcb.T + tcb
     camera = obs["camera"]
-    uv = camera.project(pc)
+    ir = obs.get("is_right")
+    if ir is not None and ir.any():
+        # fisheye right-camera rows: project through Trl + camera2 with
+        # Trl.R folded into the projection Jacobian (the reference's
+        # EdgeMono with camera index 1)
+        trl = obs["Trl"]
+        cam2 = obs["camera2"]
+        uv = np.empty((len(pc), 2))
+        jproj = np.empty((len(pc), 2, 3))
+        il = ~ir
+        if il.any():
+            uv[il] = camera.project(pc[il])
+            jproj[il] = camera.project_jac(pc[il])
+        pc_r = pc[ir] @ trl.R.T + trl.t
+        uv[ir] = cam2.project(pc_r)
+        jproj[ir] = cam2.project_jac(pc_r) @ trl.R
+    else:
+        uv = camera.project(pc)
+        jproj = camera.project_jac(pc)                 # (O, 2, 3)
     res_uv = obs["uv"] - uv
     stereo = obs["ur"] >= 0
     z = np.maximum(pc[:, 2], 1e-9)
@@ -120,7 +138,6 @@ def _visual_block(states, Tcb: SE3, obs, log_scale: float = 0.0,
     o = len(pw)
     dpb = np.concatenate([hat(pb), -np.broadcast_to(np.eye(3), (o, 3, 3))], axis=2)
     dpc = np.einsum("ij,ojk->oik", Rcb, dpb)           # (O, 3, 6)
-    jproj = camera.project_jac(pc)                     # (O, 2, 3)
     j_uv = jproj @ dpc                                 # (O, 2, 6)
     mz = (obs["mbf"] / (z * z))[:, None]
     j_ur = np.where(stereo[:, None], j_uv[:, 0, :] + mz * dpc[:, 2, :], 0.0)
@@ -486,7 +503,7 @@ def local_inertial_ba(kf, map_, calib, window: int = 10, recent_gba: bool = Fals
         preints = [chain[i + 1].imu_preint for i in range(len(chain) - 1)]
         if any(p is None for p in preints):
             return 0
-        kf_idx, pw, uv, ur, is2 = [], [], [], [], []
+        kf_idx, pw, uv, ur, is2, isr = [], [], [], [], [], []
         for i, k in enumerate(chain):
             for j, mp in k.get_map_point_indices():
                 kf_idx.append(i)
@@ -494,6 +511,7 @@ def local_inertial_ba(kf, map_, calib, window: int = 10, recent_gba: bool = Fals
                 uv.append(k.kps_un[j])
                 ur.append(k.u_right[j])
                 is2.append(k.inv_level_sigma2[k.octave[j]])
+                isr.append(j >= getattr(k, "n_left", len(k.kps_un)))
         obs = dict(
             kf_idx=np.asarray(kf_idx),
             pw=np.asarray(pw, np.float64),
@@ -502,6 +520,13 @@ def local_inertial_ba(kf, map_, calib, window: int = 10, recent_gba: bool = Fals
             inv_sigma2=np.asarray(is2, np.float64),
             camera=kf.camera,
             mbf=kf.mbf,
+            is_right=(
+                np.asarray(isr, bool)
+                if getattr(kf, "camera2", None) is not None
+                else None
+            ),
+            camera2=getattr(kf, "camera2", None),
+            Trl=getattr(kf, "Trl", None),
         )
         fixed = np.zeros(len(chain), bool)
         fixed[0] = True  # temporal anchor (reference fixes the predecessor)

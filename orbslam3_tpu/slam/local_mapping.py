@@ -16,9 +16,52 @@ import threading
 import numpy as np
 
 from orbslam3_tpu.optim.local_ba import local_bundle_adjustment
-from orbslam3_tpu.optim.triangulate import triangulate_linear
+from orbslam3_tpu.optim.triangulate import (
+    triangulate_linear,  # noqa: F401 — re-exported for tests/tools
+    triangulate_linear_rows,
+)
 from orbslam3_tpu.slam import matchers
 from orbslam3_tpu.slam.map_point import MapPoint, refresh_points
+
+
+def _per_index_rig(kf, idxs):
+    """Per-observation pose/camera selection for a (possibly fisheye) KF:
+    indices >= n_left live in the right camera, with pose Trl*Tcw
+    (the reference's per-match sophTcw/Ow/pCamera selection,
+    /root/reference/src/LocalMapping.cc:500-560).
+
+    Returns (R (N,3,3), t (N,3), centers (N,3), unproject fn, project fn,
+    is_right (N,) bool)."""
+    n = len(idxs)
+    T = kf.Tcw
+    if getattr(kf, "camera2", None) is None:
+        R = np.broadcast_to(T.R, (n, 3, 3))
+        t = np.broadcast_to(T.t, (n, 3))
+        ow = np.broadcast_to(kf.Twc.t, (n, 3))
+        return R, t, ow, kf.camera.unproject, kf.camera.project, np.zeros(n, bool)
+    right = np.asarray(idxs) >= kf.n_left
+    Tr = kf.get_right_pose()
+    R = np.where(right[:, None, None], Tr.R, T.R)
+    t = np.where(right[:, None], Tr.t, T.t)
+    ow = np.where(right[:, None], Tr.inverse().t, kf.Twc.t)
+
+    def unproject(kps, right=right):
+        out = np.empty((len(kps), 3))
+        if (~right).any():
+            out[~right] = kf.camera.unproject(kps[~right])
+        if right.any():
+            out[right] = kf.camera2.unproject(kps[right])
+        return out
+
+    def project(pc, right=right):
+        out = np.empty((len(pc), 2))
+        if (~right).any():
+            out[~right] = kf.camera.project(pc[~right])
+        if right.any():
+            out[right] = kf.camera2.project(pc[right])
+        return out
+
+    return R, t, ow, unproject, project, right
 
 
 def triangulation_gates(kf, kf2, pairs):
@@ -29,22 +72,30 @@ def triangulation_gates(kf, kf2, pairs):
     DLT-vs-stereo source select, cheirality, per-view reprojection chi2
     (stereo obs: combined <= 7.8 incl. right-view error; mono: <= 5.991),
     scale consistency — evaluated as (N,) array ops instead of a Python
-    loop.  Returns (ok mask, world points (N, 3), i1s, i2s).
+    loop.  Fisheye KFs select per-index pose/camera (left or right rig
+    camera), and — like the reference — treat every fisheye observation as
+    mono (bStereo is gated on !mpCamera2, so no stereo-depth fallback and
+    no right-u term).  Returns (ok mask, world points (N, 3), i1s, i2s).
     """
-    T1, T2 = kf.Tcw, kf2.Tcw
-    ow1 = kf.camera_center()
-    ow2 = kf2.camera_center()
     i1s = np.fromiter((p[0] for p in pairs), np.int64, len(pairs))
     i2s = np.fromiter((p[1] for p in pairs), np.int64, len(pairs))
-    b1 = kf.camera.unproject(kf.kps_un[i1s])  # (N, 3)
-    b2 = kf2.camera.unproject(kf2.kps_un[i2s])
-    r1 = b1 @ T1.R  # rows = R^T b
-    r2 = b2 @ T2.R
+    R1, t1, ow1, unproj1, proj1, _ = _per_index_rig(kf, i1s)
+    R2, t2, ow2, unproj2, proj2, _ = _per_index_rig(kf2, i2s)
+    import os
+
+    _dual = os.environ.get("ORBSLAM3_TPU_DUAL_TRI", "1") == "1"
+    fish1 = getattr(kf, "camera2", None) is not None and _dual
+    fish2 = getattr(kf2, "camera2", None) is not None and _dual
+    b1 = unproj1(kf.kps_un[i1s])  # (N, 3) in the per-index camera frame
+    b2 = unproj2(kf2.kps_un[i2s])
+    r1 = np.einsum("ni,nij->nj", b1, R1)  # rows = R^T b (world direction)
+    r2 = np.einsum("ni,nij->nj", b2, R2)
     cos_par = np.einsum("ij,ij->i", r1, r2) / (
         np.linalg.norm(r1, axis=1) * np.linalg.norm(r2, axis=1)
     )
-    z1d = kf.depth[i1s]
-    z2d = kf2.depth[i2s]
+    # pinhole-stereo depth shortcut (bStereo gates on !mpCamera2)
+    z1d = np.where(fish1, -1.0, kf.depth[i1s])
+    z2d = np.where(fish2, -1.0, kf2.depth[i2s])
     cos_st1 = np.where(z1d > 0, np.cos(2 * np.arctan2(kf.mb / 2, z1d)), 2.0)
     cos_st2 = np.where(z2d > 0, np.cos(2 * np.arctan2(kf2.mb / 2, z2d)), 2.0)
     cos_st = np.minimum(cos_st1, cos_st2)
@@ -54,21 +105,26 @@ def triangulation_gates(kf, kf2, pairs):
     ok = tri | st1 | st2
     pw = np.zeros((len(pairs), 3))
     if tri.any():
-        pw[tri] = triangulate_linear(b1[tri], b2[tri], T1, T2)
+        pw[tri] = triangulate_linear_rows(
+            b1[tri], b2[tri], R1[tri], t1[tri], R2[tri], t2[tri]
+        )
     if st1.any():  # unproject_stereo role: ray * depth into world
         pw[st1] = kf.Twc.apply(b1[st1] * z1d[st1, None])
     if st2.any():
         pw[st2] = kf2.Twc.apply(b2[st2] * z2d[st2, None])
-    p1c = T1.apply(pw)
-    p2c = T2.apply(pw)
+    p1c = np.einsum("nij,nj->ni", R1, pw) + t1
+    p2c = np.einsum("nij,nj->ni", R2, pw) + t2
     ok &= (p1c[:, 2] > 0) & (p2c[:, 2] > 0)
-    for kfx, ixs, pc in ((kf, i1s, p1c), (kf2, i2s, p2c)):
+    for kfx, ixs, pc, proj, fish in (
+        (kf, i1s, p1c, proj1, fish1),
+        (kf2, i2s, p2c, proj2, fish2),
+    ):
         with np.errstate(divide="ignore", invalid="ignore"):
-            uv = kfx.camera.project(pc)
+            uv = proj(pc)
             e = uv - kfx.kps_un[ixs]
             inv_s2 = kfx.inv_level_sigma2[kfx.octave[ixs]]
             chi = np.einsum("ij,ij->i", e, e) * inv_s2
-            stereo_obs = kfx.u_right[ixs] >= 0
+            stereo_obs = (kfx.u_right[ixs] >= 0) if not fish else np.zeros(len(ixs), bool)
             ur_p = uv[:, 0] - kfx.mbf / pc[:, 2]
             chi_st = chi + (ur_p - kfx.u_right[ixs]) ** 2 * inv_s2
         ok &= np.where(stereo_obs, chi_st <= 7.8, chi <= 5.991)

@@ -203,7 +203,16 @@ class MapPoint:
     def update_normal_and_depth(self):
         if not self.observations or self.ref_kf is None:
             return
-        centers = np.stack([kf.camera_center() for kf in self.observations])
+        # one normal term per camera index: left observations use the left
+        # camera center, fisheye right observations the right camera center
+        # (MapPoint::UpdateNormalAndDepth's leftIndex/rightIndex loop)
+        rows = []
+        for kf, (left, right) in self.observations.items():
+            if left >= 0 or right < 0:
+                rows.append(kf.camera_center())
+            if right >= 0 and getattr(kf, "camera2", None) is not None:
+                rows.append(kf.right_camera_center())
+        centers = np.stack(rows)
         v = self.position[None, :] - centers
         nv = np.sqrt((v * v).sum(axis=1))
         good = nv > 1e-9
@@ -333,14 +342,31 @@ def refresh_points(mps, descriptors: bool = True) -> None:
         descs_kf = descs_row = dgrp = np.empty(0, np.int64)
         kf_descs = []
     omask = needn[grp] if len(grp) else np.zeros(0, bool)
-    ogrp = grp[omask]
-    ocen = kfi[omask]
+    # one normal term per camera index (fisheye dual observations get a
+    # second term anchored at the right camera center — the reference's
+    # leftIndex/rightIndex loop in MapPoint::UpdateNormalAndDepth)
+    fish_kf = (
+        np.fromiter(
+            (getattr(kf, "camera2", None) is not None for kf in kfs),
+            bool, len(kfs),
+        )
+        if len(kfs)
+        else np.zeros(0, bool)
+    )
+    lmask = omask & ((left >= 0) | (right < 0))
+    rmask = omask & (right >= 0) & fish_kf[kfi] if len(grp) else omask
+    ogrp = np.concatenate([grp[lmask], grp[rmask]])
+    ocen = np.concatenate([kfi[lmask], kfi[rmask]])
+    o_right = np.r_[np.zeros(int(lmask.sum()), bool), np.ones(int(rmask.sum()), bool)]
     # centers only for KFs actually referenced by a need_norm observation
     # (duck-typed stand-ins without camera_center stay untouched, as in the
     # per-point method which early-returns when ref_kf is None)
     centers = np.zeros((len(kfs), 3))
+    centers_r = np.zeros((len(kfs), 3))
     for ui in np.unique(ocen) if len(ocen) else []:
         centers[ui] = kfs[ui].camera_center()
+        if fish_kf[ui]:
+            centers_r[ui] = kfs[ui].right_camera_center()
 
     # --- distinctive descriptors (min median Hamming per group) ----------
     if len(descs_kf):
@@ -394,8 +420,8 @@ def refresh_points(mps, descriptors: bool = True) -> None:
         return
     og = np.asarray(ogrp)
     oc = np.asarray(ocen)
-    cen = centers
-    v = pos[og] - cen[oc]
+    cen = np.where(o_right[:, None], centers_r[oc], centers[oc])
+    v = pos[og] - cen
     nv = np.sqrt((v * v).sum(axis=1))
     good = nv > 1e-9
     vg, ogg = v[good] / nv[good][:, None], og[good]

@@ -288,13 +288,23 @@ def search_by_projection_cands_device(frame, cands, proj5, desc,
 
 
 def search_by_projection_last_frame(cur, last, th: float, mono: bool,
-                                    check_rotation: bool = True):
+                                    check_rotation: bool = True,
+                                    map_points_only: bool = False,
+                                    rot_collect: list | None = None,
+                                    nn_ratio: float = 0.0):
     """Motion-model matching: project last frame's map points into the
     current frame (ORBmatcher3.cc:256 semantics).
 
     Pinhole frames run the native C++ kernel (same gates/walk order; the
     rotation-consistency histogram runs here on the returned pairs);
-    everything else uses the Python walk below."""
+    everything else uses the Python walk below.
+
+    `rot_collect`: fisheye dual-camera mode — instead of filtering
+    rotation consistency inside this call, append (frame, idx, rot) per
+    accepted match so the caller can run ONE histogram across the left and
+    right passes (the reference shares a single rotHist between the left
+    and bRight blocks, ORBmatcher3.cc SearchByProjection(CurrentFrame,
+    LastFrame))."""
     tcw = cur.Tcw
     tlw = last.Tcw
     tlc = tlw * tcw.inverse()
@@ -385,9 +395,18 @@ def search_by_projection_last_frame(cur, last, th: float, mono: bool,
     rot = []
     rot_idx = []
     assigned: dict[int, int] = {}
+    matched_mps: set[int] = set()
     for i_last in range(last.n):
         mp = last.map_points[i_last]
         if mp is None or mp.bad or last.outlier[i_last]:
+            continue
+        if map_points_only and mp.n_obs < 1:
+            continue
+        if mp.id in matched_mps:
+            # a dual-observed point occupies two last-frame slots; after the
+            # first slot matched, the second visit's best keypoint is
+            # occupied and the walk would claim a wrong neighbor — visit
+            # each point once per pass
             continue
         pc = tcw * mp.position
         if pc[2] < 0:
@@ -419,7 +438,7 @@ def search_by_projection_last_frame(cur, last, th: float, mono: bool,
         if len(idx) == 0:
             continue
         ur_pred = uv[0] - cur.mbf / pc[2] if cur.mbf > 0 else -1
-        best, best_i = 256, -1
+        best, best2, best_i = 256, 256, -1
         dists = desc_distances(mp.descriptor, cur.desc[idx])
         for k_i, i in enumerate(idx):
             cur_mp = cur.map_points[i]
@@ -430,15 +449,26 @@ def search_by_projection_last_frame(cur, last, th: float, mono: bool,
                     continue
             d = int(dists[k_i])
             if d < best:
+                best2 = best
                 best, best_i = d, i
+            elif d < best2:
+                best2 = d
+        if nn_ratio > 0 and best > nn_ratio * best2:
+            continue
         if best <= MATCH_TH and best_i >= 0:
             cur.map_points[best_i] = mp
             assigned[best_i] = i_last
+            matched_mps.add(mp.id)
             matches += 1
-            if check_rotation:
+            if rot_collect is not None:
+                dr = last.angle[i_last] - cur.angle[best_i]
+                rot_collect.append((cur, best_i, dr + 360 if dr < 0 else dr))
+            elif check_rotation:
                 dr = last.angle[i_last] - cur.angle[best_i]
                 rot.append(dr + 360 if dr < 0 else dr)
                 rot_idx.append(best_i)
+    if rot_collect is not None:
+        return matches
     if check_rotation and matches > 0:
         keep = _rotation_consistency(rot, rot_idx)
         for i in rot_idx:
@@ -570,17 +600,32 @@ def search_for_triangulation(kf1, kf2, coarse: bool = False,
     # resolves the used2 interaction in the original order.
     from orbslam3_tpu.native import hamming_matrix as _hm
 
+    import os
+
+    fisheye = getattr(kf1, "camera2", None) is not None or getattr(
+        kf2, "camera2", None
+    ) is not None
+    if fisheye and os.environ.get("ORBSLAM3_TPU_DUAL_TRI", "1") != "1":
+        # A/B kill switch: left-block-only triangulation (pre-dual behavior)
+        free1 = free1[free1 < kf1.n_left]
+        free2 = free2[free2 < kf2.n_left]
+        if len(free1) == 0 or len(free2) == 0:
+            return []
+        fisheye = False
     D = _hm(kf1.desc[free1], kf2.desc[free2])  # (n1, n2)
     valid = D <= TH_LOW
     stereo1 = kf1.u_right[free1] >= 0
     stereo2 = kf2.u_right[free2] >= 0
-    dxy = ep[None, :] - kf2.kps_un[free2]
-    near_ep = (dxy * dxy).sum(axis=1) < (
-        100 * kf2.scale_factors[kf2.octave[free2]] ** 2
-    )
-    valid &= ~(~stereo1[:, None] & (~stereo2 & near_ep)[None, :])
+    if not fisheye:
+        # epipole-proximity cull applies only to the single-camera mono
+        # case (the reference gates it on !pKF1->mpCamera2)
+        dxy = ep[None, :] - kf2.kps_un[free2]
+        near_ep = (dxy * dxy).sum(axis=1) < (
+            100 * kf2.scale_factors[kf2.octave[free2]] ** 2
+        )
+        valid &= ~(~stereo1[:, None] & (~stereo2 & near_ep)[None, :])
     ai, oi = np.nonzero(valid)
-    if len(ai):
+    if len(ai) and not fisheye:
         valid[ai, oi] = kf1.camera.epipolar_constrain(
             kf2.camera,
             kf1.kps_un[free1[ai]],
@@ -590,6 +635,33 @@ def search_for_triangulation(kf1, kf2, coarse: bool = False,
             kf2.level_sigma2[kf2.octave[free2[oi]]],
             unc=5.991 if not coarse else 50.0,
         )
+    elif len(ai):
+        # fisheye: each match side may be a left- or right-camera keypoint;
+        # evaluate the epipolar/triangulation constraint per side combo with
+        # the combo's relative pose and cameras (the reference's
+        # Tll/Tlr/Trl/Trr + pCamera selection, ORBmatcher2.cc:179 region)
+        side1 = free1[ai] >= kf1.n_left
+        side2 = free2[oi] >= kf2.n_left
+        t1_poses = [T1w, kf1.get_right_pose() if kf1.is_fisheye else T1w]
+        t2_poses = [T2w, kf2.get_right_pose() if kf2.is_fisheye else T2w]
+        cams1 = [kf1.camera, kf1.camera2 or kf1.camera]
+        cams2 = [kf2.camera, kf2.camera2 or kf2.camera]
+        unc = 5.991 if not coarse else 50.0
+        for s1 in (False, True):
+            for s2 in (False, True):
+                m = (side1 == s1) & (side2 == s2)
+                if not m.any():
+                    continue
+                t12c = t1_poses[s1] * t2_poses[s2].inverse()
+                valid[ai[m], oi[m]] = cams1[s1].epipolar_constrain(
+                    cams2[s2],
+                    kf1.kps_un[free1[ai[m]]],
+                    kf2.kps_un[free2[oi[m]]],
+                    t12c.R,
+                    t12c.t,
+                    kf2.level_sigma2[kf2.octave[free2[oi[m]]]],
+                    unc=unc,
+                )
     order = np.argsort(D, axis=1, kind="stable")
     counts = np.count_nonzero(D <= TH_LOW, axis=1)
     pairs = []
@@ -700,9 +772,12 @@ def search_by_sim3(kf1, kf2, s12, th: float = 7.5):
     return out
 
 
-def _fuse_prefilter(kf, tcw, ow, map_points):
+def _fuse_prefilter(kf, tcw, ow, map_points, cam=None):
     """Vectorized projection/frustum/distance/view-cos/level gates shared
-    by fuse and fuse_scw; returns (cand, survivors, uv_all, z, levels)."""
+    by fuse and fuse_scw; returns (cand, survivors, uv_all, z, levels).
+    `cam` overrides the projection model (right-camera fuse pass)."""
+    if cam is None:
+        cam = kf.camera
     cand = [
         mp
         for mp in map_points
@@ -716,7 +791,7 @@ def _fuse_prefilter(kf, tcw, ow, map_points):
     normals = np.stack([mp.normal for mp in cand])
     pc = pw @ tcw.R.T + tcw.t
     z = pc[:, 2]
-    uv_all = kf.camera.project(np.where(z[:, None] > 1e-12, pc, [0, 0, 1.0]))
+    uv_all = cam.project(np.where(z[:, None] > 1e-12, pc, [0, 0, 1.0]))
     v = pw - ow
     dist_all = np.sqrt((v * v).sum(axis=1))
     ok = (
@@ -785,11 +860,32 @@ def fuse(kf, map_points, th: float = 3.0):
 
     The projection/frustum/distance/view-cos gates run as one vectorized
     prefilter over the whole candidate batch (they reject the vast majority;
-    the per-survivor grid walk + chi2/Hamming stays scalar)."""
-    tcw = kf.Tcw
-    ow = kf.camera_center()
+    the per-survivor grid walk + chi2/Hamming stays scalar).  Fisheye
+    keyframes run a second pass over the right camera (the reference Fuse's
+    bRight loop): right-grid hits carry global indices >= n_left, so the
+    association lands as a right-camera observation of the same point."""
+    import os
+
+    n = _fuse_pass(kf, map_points, th, right=False)
+    if (
+        getattr(kf, "camera2", None) is not None
+        and os.environ.get("ORBSLAM3_TPU_DUAL_FUSE", "1") == "1"
+    ):
+        n += _fuse_pass(kf, map_points, th, right=True)
+    return n
+
+
+def _fuse_pass(kf, map_points, th: float, right: bool):
+    if right:
+        tcw = kf.get_right_pose()
+        ow = tcw.inverse().t
+        cam = kf.camera2
+    else:
+        tcw = kf.Tcw
+        ow = kf.camera_center()
+        cam = kf.camera
     cand, survivors, uv_all, z, levels_all = _fuse_prefilter(
-        kf, tcw, ow, map_points
+        kf, tcw, ow, map_points, cam
     )
     n_fused = 0
     for j in survivors:
@@ -799,10 +895,10 @@ def fuse(kf, map_points, th: float = 3.0):
         uv = uv_all[j]
         level = int(levels_all[j])
         r = th * kf.scale_factors[level]
-        idx = kf.features_in_area(uv[0], uv[1], r, level - 1, level + 1)
+        idx = kf.features_in_area(uv[0], uv[1], r, level - 1, level + 1, right)
         if len(idx) == 0:
             continue
-        ur_pred = uv[0] - kf.mbf / z[j] if kf.mbf > 0 else -1
+        ur_pred = uv[0] - kf.mbf / z[j] if (kf.mbf > 0 and not right) else -1
         best, best_i = 256, -1
         dists = desc_distances(mp.descriptor, kf.desc[idx])
         for k_i, i in enumerate(idx):

@@ -66,7 +66,14 @@ class Relocalizer:
             matches, n = matchers.search_by_bow(kf, frame, ratio=0.75)
             if n < 15:
                 continue
-            idx = np.asarray(sorted(matches.keys()))
+            # PnP consumes left-camera pixels only (fisheye right-block
+            # BoW matches re-enter below through the ToBody rows of
+            # _optimize; MLPnP's bearing model is single-camera)
+            idx = np.asarray(
+                sorted(i for i in matches.keys() if i < frame.n_left)
+            )
+            if len(idx) < 6:
+                continue
             pw = np.stack([matches[i].position for i in idx])
             T, inl = pnp_ransac(
                 pw,
@@ -115,6 +122,11 @@ class Relocalizer:
             inv_sigma2=frame.inv_level_sigma2[frame.octave[idx]],
             camera=frame.camera,
             mbf=frame.mbf,
+            is_right=(
+                (idx >= frame.n_left) if frame.camera2 is not None else None
+            ),
+            camera2=frame.camera2,
+            Trl=frame.Trl,
         )
         T, inlier, n_in = pose_optimization(frame.Tcw, obs)
         frame.set_pose(T)

@@ -396,15 +396,50 @@ class Tracking:
         f.set_pose(self.velocity * self.last_frame.Tcw)
         f.map_points[:] = None
         th = 7 if self.mbf > 0 else 15
-        n = matchers.search_by_projection_last_frame(f, self.last_frame, th, self.mbf <= 0)
+        # fisheye disables the forward/backward octave heuristics (the
+        # reference's SearchByProjection gates them on Nleft == -1) and adds
+        # a right-camera pass through the right-view pseudo-frame
+        import os
+
+        dual = (
+            f.camera2 is not None
+            and os.environ.get("ORBSLAM3_TPU_DUAL_MM", "1") == "1"
+        )
+        mono = self.mbf <= 0 or f.camera2 is not None
+        n = self._mm_search(f, th, mono, dual)
         if n < 20:
             f.map_points[:] = None
-            n = matchers.search_by_projection_last_frame(
-                f, self.last_frame, 2 * th, self.mbf <= 0
-            )
+            n = self._mm_search(f, 2 * th, mono, dual)
         if n < 20:
             return False
         return self._optimize_current_pose() >= 10
+
+    def _mm_search(self, f, th, mono, dual) -> int:
+        """Motion-model projection search; for fisheye, the left and right
+        passes share ONE rotation-consistency histogram (the reference's
+        single rotHist across the left and bRight blocks)."""
+        import os
+
+        if not dual:
+            return matchers.search_by_projection_last_frame(
+                f, self.last_frame, th, mono
+            )
+        col: list = []
+        n = matchers.search_by_projection_last_frame(
+            f, self.last_frame, th, mono, rot_collect=col
+        )
+        n += matchers.search_by_projection_last_frame(
+            f.right_view(), self.last_frame, th, True, rot_collect=col
+        )
+        if col:
+            keep = matchers._rotation_consistency(
+                [r for _, _, r in col], list(range(len(col)))
+            )
+            for k, (fr, i, _) in enumerate(col):
+                if k not in keep:
+                    fr.map_points[i] = None
+                    n -= 1
+        return n
 
     def _track_reference_keyframe(self) -> bool:
         f = self.current
@@ -465,6 +500,12 @@ class Tracking:
             Trl=f.Trl,
         )
         T, inlier, n_in = pose_optimization(f.Tcw, obs)
+        import os as _os
+        if _os.environ.get("ORBSLAM3_TPU_DEBUG_DUAL") == "1" and f.camera2 is not None:
+            ir = np.asarray(idx >= f.n_left)
+            inl = np.asarray(inlier, bool)
+            print(f"[dual] frame {f.id} map_only={map_only} edges L={int((~ir).sum())} R={int(ir.sum())} "
+                  f"inl L={int(inl[~ir].sum())} R={int(inl[ir].sum())}", flush=True)
         f.set_pose(T)
         # Mark outliers but KEEP the associations (reference semantics:
         # mvbOutlier flags live through Track(); nulling here would prune
@@ -622,6 +663,53 @@ class Tracking:
             matchers.search_by_projection_cands(
                 f, cands, proj, table.n_obs[so], table.desc[so], th
             )
+        import os
+
+        if (
+            f.camera2 is not None
+            and os.environ.get("ORBSLAM3_TPU_DUAL_LP", "1") == "1"
+        ):
+            # right-camera frustum + projection search over the same
+            # candidate set (the reference's mbTrackInViewR /
+            # isInFrustumChecks(..., bRight) second pass); matches land at
+            # global slots >= n_left through the right-view pseudo-frame
+            trw = (f.Trl * f.Tcw).normalized()
+            pc_r = pw @ trw.R.T + trw.t
+            ow_r = trw.inverse().t
+            v_r = pw - ow_r
+            dist_r = np.linalg.norm(v_r, axis=1)
+            uv_r = f.camera2.project(
+                np.where(pc_r[:, 2:3] > 1e-9, pc_r, [0, 0, 1.0])
+            )
+            view_cos_r = (v_r * normal).sum(1) / np.maximum(dist_r, 1e-9)
+            ok_r = (
+                (pc_r[:, 2] >= 0.1)
+                & (f.min_x < uv_r[:, 0]) & (uv_r[:, 0] < f.max_x)
+                & (f.min_y < uv_r[:, 1]) & (uv_r[:, 1] < f.max_y)
+                & (min_d <= dist_r) & (dist_r <= max_d)
+                & (view_cos_r >= 0.5)
+            )
+            oki_r = np.nonzero(ok_r)[0]
+            if len(oki_r):
+                ratio_r = max_d[oki_r] / np.maximum(dist_r[oki_r], 1e-9)
+                level_r = np.clip(
+                    np.ceil(np.log(np.maximum(ratio_r, 1e-12)) / f.log_scale_factor),
+                    0, f.n_levels - 1,
+                )
+                proj_r = np.column_stack(
+                    [uv_r[oki_r, 0], uv_r[oki_r, 1], np.full(len(oki_r), -1.0),
+                     level_r, view_cos_r[oki_r]]
+                ).astype(np.float32)
+                cands_r = [mps[j] for j in ci[oki_r]]
+                # IncreaseVisible once per frame: only for points the left
+                # frustum pass didn't already count
+                for j in np.nonzero(ok_r & ~ok)[0]:
+                    mps[ci[j]].increase_visible()
+                so_r = s[oki_r]
+                matchers.search_by_projection_cands(
+                    f.right_view(), cands_r, proj_r,
+                    table.n_obs[so_r], table.desc[so_r], th,
+                )
 
     # --- inertial bookkeeping ---------------------------------------------
     def current_bias(self):
@@ -742,6 +830,11 @@ class Tracking:
             camera=f.camera,
             mbf=f.mbf,
             Tcb=Tcb,
+            # fisheye right-camera rows (the reference's EdgeMono on the
+            # rig's second camera — VertexPose holds both cameras)
+            is_right=(idx >= f.n_left) if f.camera2 is not None else None,
+            camera2=f.camera2,
+            Trl=f.Trl,
         )
         # Marginalized-prior chain (PoseInertialOptimizationLastKeyFrame /
         # LastFrame + Marginalize): when the previous frame spawned a

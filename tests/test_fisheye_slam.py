@@ -74,3 +74,27 @@ def test_fisheye_stereo_slam_e2e():
     assert ate < 0.05, f"fisheye ATE {ate}"
     st = sysm.map_stats()
     assert st["n_map_points"] > 150
+    # dual-camera observation model: a healthy share of map points must be
+    # observed in BOTH cameras of at least one keyframe (reference
+    # Nleft/Nright bookkeeping), i.e. right-camera slots really feed the
+    # optimizers (constraint count > observation-keyframe count)
+    m = sysm.atlas.get_current_map()
+    mps = m.get_all_map_points()
+    n_dual = sum(
+        1
+        for mp in mps
+        if any(
+            left >= 0 and right >= 0 for left, right in mp.observations.values()
+        )
+    )
+    n_constraints = sum(mp.n_obs for mp in mps)
+    n_obs_kfs = sum(len(mp.observations) for mp in mps)
+    assert n_dual > 50, f"only {n_dual} dual-observed points"
+    assert n_constraints > n_obs_kfs, "right-camera constraints missing"
+    # every keyframe carries live right-block associations
+    kfs = m.get_all_keyframes()
+    right_slots = sum(
+        sum(1 for mp in kf.map_points[kf.n_left :] if mp is not None)
+        for kf in kfs
+    )
+    assert right_slots > 50, right_slots

@@ -138,7 +138,7 @@ def test_tumvi_stereo_fisheye_inertial_e2e():
     assert 0.97 < span < 1.03, f"map scale drifted: est/gt span ratio {span:.3f}"
 
     ate = ate_rmse(est, gt)
-    assert ate < 0.02, f"TUM-VI-config ATE {ate*100:.2f} cm"
+    assert ate < 0.012, f"TUM-VI-config ATE {ate*100:.2f} cm"
 
     # keyframe velocities close to analytic ground truth (body ~ camera
     # origin offset by the Tbc lever arm; 5 cm/s absorbs that arm at the
