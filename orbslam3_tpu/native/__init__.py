@@ -132,6 +132,7 @@ def _load():
         ctypes.c_double,
         ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_uint8),   # abort flag (nullable)
     ]
     _lib = lib
     return lib
@@ -367,12 +368,15 @@ def project_match_last(pw, mp_desc, mp_oct, mp_valid, mp_obs,
 
 
 def ba_schur(poses, points, cam_idx, pt_idx, obs_uv, obs_ur, inv_sigma2,
-             fixed_cams, active, fx, fy, cx, cy, mbf, n_iters, use_huber):
+             fixed_cams, active, fx, fy, cx, cy, mbf, n_iters, use_huber,
+             abort_buf=None):
     """Native Schur-complement BA (see orbslam3_native.cpp ba_schur).
 
     poses: (C, 12) row-major [R(9), t(3)]; points: (P, 3).  Returns
     (poses, points, chi2 (O,)) — new arrays — or None when the native lib
-    is unavailable."""
+    is unavailable.  abort_buf: optional (1,) uint8 array another thread
+    sets nonzero to interrupt the LM loop between iterations (the
+    reference's mbAbortBA / g2o force-stop mechanism)."""
     lib = _load()
     if lib is None:
         return None
@@ -401,6 +405,11 @@ def ba_schur(poses, points, cam_idx, pt_idx, obs_uv, obs_ur, inv_sigma2,
         float(fx), float(fy), float(cx), float(cy), float(mbf),
         int(n_iters), int(use_huber),
         chi2.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        (
+            abort_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+            if abort_buf is not None
+            else None
+        ),
     )
     if rc != 0:
         return None

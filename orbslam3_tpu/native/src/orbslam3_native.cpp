@@ -918,7 +918,12 @@ int ba_schur(double* poses, double* points,
              const uint8_t* fixed_cams, const uint8_t* active,
              int C, int P, int O,
              double fx, double fy, double cx, double cy, double mbf,
-             int n_iters, int use_huber, double* chi2_out) {
+             int n_iters, int use_huber, double* chi2_out,
+             const uint8_t* abort_flag) {
+  // abort_flag (nullable): polled before every LM iteration — another
+  // thread (the tracker inserting a keyframe) sets it to interrupt a
+  // running local BA, the reference's g2o setForceStopFlag(&mbAbortBA)
+  // mechanism (/root/reference/src/LocalMapping.cc:288, Optimizer2.cc).
   BAIn in{cam_idx, pt_idx, obs_uv, obs_ur, is2, active,
           C,       P,      O,      fx,     fy,  cx,    cy, mbf};
   // free-camera slots
@@ -951,6 +956,7 @@ int ba_schur(double* poses, double* points,
                         stereo.data(), chi2.data());
 
   for (int it = 0; it < n_iters; ++it) {
+    if (abort_flag && *(volatile const uint8_t*)abort_flag) break;
     ba_cost(in, poses, points, use_huber, res.data(), stereo.data(),
             chi2.data());
     std::fill(hcc.begin(), hcc.end(), 0.0);

@@ -27,6 +27,31 @@ CHI2_MONO = 5.991
 CHI2_STEREO = 7.815
 
 
+class AbortFlag:
+    """Cross-thread BA interrupt (the reference's LocalMapping::mbAbortBA
+    consumed by g2o's setForceStopFlag, /root/reference/src/
+    LocalMapping.cc:288 + Optimizer2.cc): a single shared byte the tracker
+    sets when it inserts a keyframe so a running local BA returns its
+    partial result instead of making the tracker wait.
+
+    Backed by a 1-byte NumPy buffer so the native ba_schur loop (which runs
+    with the GIL released) can poll the same memory the Python side sets."""
+
+    __slots__ = ("buf",)
+
+    def __init__(self):
+        self.buf = np.zeros(1, np.uint8)
+
+    def set(self):
+        self.buf[0] = 1
+
+    def clear(self):
+        self.buf[0] = 0
+
+    def __bool__(self) -> bool:
+        return bool(self.buf[0])
+
+
 @dataclass
 class BAProblem:
     """Observation soup for BA.
@@ -142,6 +167,7 @@ def bundle_adjust(
     n_iters: int = 10,
     use_huber: bool = True,
     active: np.ndarray | None = None,
+    abort_flag: AbortFlag | None = None,
 ):
     """LM with Schur complement.  Returns (poses, points, final chi2 (O,)).
 
@@ -181,6 +207,7 @@ def bundle_adjust(
                 pr.obs_ur, pr.inv_sigma2, pr.fixed_cams, act,
                 pr.camera.fx, pr.camera.fy, pr.camera.cx, pr.camera.cy,
                 pr.mbf, n_iters, use_huber,
+                abort_buf=abort_flag.buf if abort_flag is not None else None,
             )
             if out is not None:
                 poses_b, points, chi2 = out
@@ -212,6 +239,8 @@ def bundle_adjust(
     cost = _robust_cost(chi2, stereo, use_huber, active)
 
     for _ in range(n_iters):
+        if abort_flag is not None and abort_flag:
+            break  # interrupted by a keyframe insertion / stop request
         res, jc, jp, stereo = _residuals_jacs(r, t, points, pr)
         w, chi2 = _weights(res, pr, stereo, use_huber)
         wa = np.where(active, w, 0.0)

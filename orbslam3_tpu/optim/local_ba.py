@@ -20,6 +20,14 @@ from orbslam3_tpu.optim.bundle_adjustment import (
 
 
 def local_bundle_adjustment(kf, map_, abort_flag=None, max_fixed: int = 200):
+    """abort_flag: optional AbortFlag the tracker sets on keyframe
+    insertion (LocalMapping::mbAbortBA) — checked before starting, between
+    LM iterations (bundle_adjust polls it, native loop included), and
+    between the two stages; an aborted stage still writes back its partial
+    result, exactly like the reference's force-stopped g2o optimize
+    (/root/reference/src/LocalMapping.cc:284-296, Optimizer2.cc:350)."""
+    if abort_flag is not None and abort_flag:
+        return 0
     local_kfs = [kf] + [k for k in kf.get_best_covisibility_keyframes(1000) if not k.bad]
     local_set = set(local_kfs)
     local_mps = []
@@ -125,13 +133,16 @@ def local_bundle_adjustment(kf, map_, abort_flag=None, max_fixed: int = 200):
         camera2=kf.camera2,
         Trl=kf.Trl,
     )
-    poses, points, chi2 = bundle_adjust(pr, n_iters=5)
-    # second stage without outliers
+    poses, points, chi2 = bundle_adjust(pr, n_iters=5, abort_flag=abort_flag)
+    # second stage without outliers — skipped when interrupted (bDoMore)
     stereo = pr.obs_ur >= 0
     th = np.where(stereo, CHI2_STEREO, CHI2_MONO)
-    active = chi2 <= th
-    pr2 = BAProblem(**{**pr.__dict__, "poses": poses, "points": points})
-    poses, points, chi2 = bundle_adjust(pr2, n_iters=10, active=active)
+    if abort_flag is None or not abort_flag:
+        active = chi2 <= th
+        pr2 = BAProblem(**{**pr.__dict__, "poses": poses, "points": points})
+        poses, points, chi2 = bundle_adjust(
+            pr2, n_iters=10, active=active, abort_flag=abort_flag
+        )
 
     # write back
     for k, p in zip(all_kfs, poses):

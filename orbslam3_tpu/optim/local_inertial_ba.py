@@ -225,6 +225,7 @@ def optimize_inertial_window(
     huber: bool = True,
     opt_scale: bool = False,
     ba_prior_sigma: float | None = None,
+    abort_flag=None,
 ):
     """GN/LM over the chain.  states: N NavStates; preints: N-1 windows
     (preints[i] spans states[i] -> states[i+1]); visual_obs as in
@@ -428,6 +429,8 @@ def optimize_inertial_window(
             sigma = float(np.log(best_lam))
             h, g, cost, chi2_vis = build(states, sigma)
     for _ in range(n_iters):
+        if abort_flag is not None and abort_flag:
+            break  # interrupted (mbAbortBA) — return the partial result
         stepped = False
         for _ in range(6):
             hd = h + lam * np.diag(np.maximum(np.diag(h), 1e-8))
@@ -461,7 +464,7 @@ def optimize_inertial_window(
 # ---------------------------------------------------------------------------
 
 def local_inertial_ba(kf, map_, calib, window: int = 10, recent_gba: bool = False,
-                      ba_prior_sigma: float | None = None):
+                      ba_prior_sigma: float | None = None, abort_flag=None):
     """Optimizer::LocalInertialBA role: take the temporal chain ending at
     `kf` (linked via kf.prev_kf with preintegrations), refine its states and
     the local landmarks.  Landmarks move in the visual Schur pass
@@ -484,8 +487,10 @@ def local_inertial_ba(kf, map_, calib, window: int = 10, recent_gba: bool = Fals
     Tcb = Tbc.inverse()
 
     for _pass in range(2):
+        if abort_flag is not None and abort_flag:
+            break
         # visual pass: poses + landmarks (camera parameterization)
-        local_bundle_adjustment(kf, map_)
+        local_bundle_adjustment(kf, map_, abort_flag=abort_flag)
         # chain pass: 15-dof states, landmarks fixed
         states = []
         for k in chain:
@@ -531,7 +536,8 @@ def local_inertial_ba(kf, map_, calib, window: int = 10, recent_gba: bool = Fals
         fixed = np.zeros(len(chain), bool)
         fixed[0] = True  # temporal anchor (reference fixes the predecessor)
         states, _ = optimize_inertial_window(
-            states, preints, obs, Tcb, fixed, ba_prior_sigma=ba_prior_sigma
+            states, preints, obs, Tcb, fixed, ba_prior_sigma=ba_prior_sigma,
+            abort_flag=abort_flag,
         )
         for k, s in zip(chain, states):
             Twb = SE3(s.R, s.p).normalized()

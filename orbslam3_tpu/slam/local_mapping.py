@@ -15,6 +15,7 @@ import threading
 
 import numpy as np
 
+from orbslam3_tpu.optim.bundle_adjustment import AbortFlag
 from orbslam3_tpu.optim.local_ba import local_bundle_adjustment
 from orbslam3_tpu.optim.triangulate import (
     triangulate_linear,  # noqa: F401 — re-exported for tests/tools
@@ -153,7 +154,12 @@ class LocalMapping:
         self.recent_map_points: list[MapPoint] = []
         self.kf_queue: queue.Queue = queue.Queue()
         self.cur_kf = None
-        self.abort_ba = False
+        # LocalMapping::mbAbortBA — set by keyframe insertion / stop
+        # requests, polled by the running local BA between LM iterations
+        # (the reference's g2o force-stop wiring, LocalMapping.cc:288)
+        self.abort_ba = AbortFlag()
+        self.n_lba_exec = 0    # nLBA_exec / nLBA_abort (ExecMean.txt role)
+        self.n_lba_abort = 0
         self.finished = False
         self.loop_closer = None
         self.kf_database = None
@@ -174,6 +180,11 @@ class LocalMapping:
             self._process(kf)
         else:
             self.kf_queue.put(kf)
+            self.abort_ba.set()  # interrupt a running local BA
+
+    def interrupt_ba(self):
+        """LocalMapping::InterruptBA — the tracker wants the mapper."""
+        self.abort_ba.set()
 
     def accept_keyframes(self) -> bool:
         return self._accept_kfs
@@ -197,7 +208,10 @@ class LocalMapping:
 
     def request_stop(self):
         """Block until the worker parks between keyframes, then keep it
-        parked (RequestStop + isStopped wait).  Caller must resume()."""
+        parked (RequestStop + isStopped wait).  Caller must resume().
+        Sets abort_ba first so a running local BA yields promptly
+        (LocalMapping::RequestStop sets mbAbortBA, LocalMapping.cc:895)."""
+        self.abort_ba.set()
         self._run_lock.acquire()
 
     def resume(self):
@@ -222,13 +236,17 @@ class LocalMapping:
         self._process_new_keyframe(kf)
         self._cull_map_points(kf)
         self._create_new_map_points(kf)
+        # a fresh cycle starts listening for interrupts here (the reference
+        # clears mbAbortBA right after CreateNewMapPoints, LocalMapping.cc:103)
+        self.abort_ba.clear()
         if self.sequential or self.kf_queue.empty():
             self._search_in_neighbors(kf)
             m = self.atlas.get_current_map()
-            if m.n_keyframes() > 2:
+            if m.n_keyframes() > 2 and (self.sequential or self.kf_queue.empty()):
                 # BA mutates poses the tracker reads: exclude a concurrent
                 # Track() via the coarse map-update lock (threaded mode)
                 with m.update_lock:
+                    self.n_lba_exec += 1
                     if (
                         self.imu_calib is not None
                         and getattr(m, "imu_initialized", False)
@@ -243,9 +261,19 @@ class LocalMapping:
                             ba_prior_sigma=(
                                 0.03 if not m.iniertial_ba2 else None
                             ),
+                            abort_flag=(
+                                None if self.sequential else self.abort_ba
+                            ),
                         )
                     else:
-                        local_bundle_adjustment(kf, m)
+                        local_bundle_adjustment(
+                            kf, m,
+                            abort_flag=(
+                                None if self.sequential else self.abort_ba
+                            ),
+                        )
+                    if not self.sequential and self.abort_ba:
+                        self.n_lba_abort += 1
             with m.update_lock:
                 self._cull_keyframes(kf)
         if self.imu_calib is not None:
@@ -584,6 +612,10 @@ class LocalMapping:
         own = [mp for _, mp in kf.get_map_point_indices()]
         for k in targets:
             matchers.fuse(k, own)
+        if not self.sequential and self.abort_ba:
+            # keyframe insertion interrupted the cycle (the reference
+            # returns between the two fuse directions, LocalMapping.cc:777)
+            return
         fuse_candidates = []
         cand_seen = set()
         for k in targets:
@@ -606,7 +638,11 @@ class LocalMapping:
         from orbslam3_tpu.native import hostops
 
         th_obs = 3
+        n_checked = 0
         for k in kf.get_best_covisibility_keyframes(100):
+            n_checked += 1
+            if n_checked > 20 and not self.sequential and self.abort_ba:
+                break  # reference: (count > 20 && mbAbortBA) -> stop culling
             if k.bad or k.id == (k.map.init_kf_id if k.map is not None else 0):
                 continue
             pairs = k.get_map_point_indices()

@@ -894,7 +894,18 @@ class Tracking:
         c2 = (
             self.matches_inliers < ref_matches * th_ref or need_insert_close
         ) and self.matches_inliers > 15
-        return bool((c1a or c1b or c1c) and c2)
+        if not ((c1a or c1b or c1c) and c2):
+            return False
+        # Busy-mapper policy (Tracking4.cc:500 region): an idle mapper takes
+        # the KF now; a busy one gets its running local BA interrupted
+        # (InterruptBA -> mbAbortBA) and — stereo only — the KF still
+        # inserts while the queue is short; monocular waits.
+        if idle:
+            return True
+        self.local_mapper.interrupt_ba()
+        if self.mbf > 0:
+            return self.local_mapper.queue_size() < 3
+        return False
 
     def _create_new_keyframe(self):
         f = self.current
