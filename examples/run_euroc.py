@@ -92,7 +92,7 @@ def main(seq_dir: str, settings_path: str, voc_path: str | None = None,
     for k, (ns, fname) in enumerate(stamps):
         if batch > 0:
             if not fifo:
-                # refill: one vmap dispatch serves the next `batch` frames
+                # refill: one scan-batched dispatch serves the next `batch` frames
                 window = []
                 while len(window) < batch:
                     try:
@@ -174,7 +174,7 @@ if __name__ == "__main__":
     ap.add_argument("--pipeline", type=int, default=0,
                     help="prefetch depth (0 = synchronous)")
     ap.add_argument("--batch", type=int, default=0,
-                    help="batched-throughput mode: B frames per vmap dispatch")
+                    help="batched-throughput mode: B frames per scan-batched dispatch")
     a = ap.parse_args()
     main(a.seq_dir, a.settings, a.voc, sensor=a.sensor_pos or a.sensor,
          pipeline=max(0, a.pipeline), batch=max(0, a.batch))

@@ -52,7 +52,7 @@ if __name__ == "__main__":
     ap.add_argument("--pipeline", type=int, default=0,
                     help="prefetch depth (0 = synchronous)")
     ap.add_argument("--batch", type=int, default=0,
-                    help="batched-throughput mode: B frames per vmap dispatch")
+                    help="batched-throughput mode: B frames per scan-batched dispatch")
     a = ap.parse_args()
     main(a.seq_dir, a.settings, a.voc, sensor=a.sensor,
          pipeline=max(0, a.pipeline), batch=max(0, a.batch))

@@ -148,10 +148,14 @@ def _raw_score_pallas(
         # the mask REPLACES the frame test, so a True pixel near the edge
         # would silently score against the zero padding — enforce the
         # contract at trace time (cheap: four border-strip reductions)
-        assert mask_np.shape == (h, w) and not (
+        if mask_np.shape != (h, w) or (
             mask_np[:3].any() or mask_np[-3:].any()
             or mask_np[:, :3].any() or mask_np[:, -3:].any()
-        ), "mask_np contract: every True pixel must be >= 3 px inside the composite"
+        ):  # ValueError, not assert: the contract must survive python -O
+            raise ValueError(
+                "mask_np contract: every True pixel must be >= 3 px inside "
+                "the composite"
+            )
         M = jnp.asarray(
             _np.pad(mask_np, ((0, hp - h), (0, wo - w))).astype(_np.float32)
         )

@@ -325,9 +325,10 @@ class System:
 
     def prefetch_stereo_batch(self, pairs: list):
         """Batched prefetch: dispatch the front-end for B future frames as
-        ONE data-parallel device program (vmap over the batch axis —
-        extract_and_match_stereo_packed_batch) and return one handle per
-        frame, each consumable by track_stereo_prefetched in order.
+        ONE scan-batched device program (lax.scan over the frame axis —
+        extract_and_match_stereo_packed_batch; scan beat vmap in the
+        recorded r4 A/B) and return one handle per frame, each consumable
+        by track_stereo_prefetched in order.
 
         One dispatch + one (B, K, 40) device->host fetch serve the whole
         window, so per-dispatch overhead amortises over B frames — the
@@ -759,8 +760,12 @@ class System:
         """System::ChangeDataset role (System.cc:1318-1327): a current map
         with <12 keyframes is reset in place, otherwise a fresh map is
         forked (CreateMapInAtlas) — either way the inertial temporal chain
-        is cleared so no preintegration spans the dataset boundary."""
+        is cleared so no preintegration spans the dataset boundary, and the
+        dataset counter bumps (mpTracker->NewDataset(), Tracking5.cc:488)."""
+        self.tracker.n_dataset = getattr(self.tracker, "n_dataset", 0) + 1
         m = self.atlas.get_current_map()
+        if m is None:
+            return
         if m.n_keyframes() < 12:
             self.tracker._reset_active_map()
         else:
@@ -1004,12 +1009,16 @@ class System:
     def save_keyframe_trajectory_euroc(self, path: str, map_=None):
         """SaveKeyFrameTrajectoryEuRoC role (per-map overload via `map_`,
         System.h:159): ns stamps; body poses for inertial configs
-        (System.cc: GetImuPosition/GetImuRotation)."""
+        (System.cc: GetImuPosition/GetImuRotation).  With no `map_` the
+        no-arg reference overload targets the BIGGEST map (System.cc:
+        1020-1040) — matching save_trajectory_euroc, so the frame and KF
+        artifacts of a multi-map session come from the same map."""
         from orbslam3_tpu.utils.trajectory import save_euroc
 
         save_euroc(
             path,
             self._keyframe_poses(
-                body_frame=self.imu_calib is not None, map_=map_
+                body_frame=self.imu_calib is not None,
+                map_=map_ if map_ is not None else self._biggest_map(),
             ),
         )

@@ -95,7 +95,7 @@ ORBextractor.minThFAST: 7
 @pytest.mark.parametrize("pipeline,batch", [(0, 0), (2, 0), (0, 4)])
 def test_run_euroc_driver(tmp_path, monkeypatch, pipeline, batch):
     """pipeline=0: the reference stereo_euroc synchronous contract;
-    pipeline=2: the prefetch-overlap path; batch=4: the vmap
+    pipeline=2: the prefetch-overlap path; batch=4: the scan-batched
     batched-throughput path — same outputs, same ATE gate for all."""
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
     import run_euroc

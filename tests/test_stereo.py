@@ -94,7 +94,7 @@ def test_packed_transfer_matches_unpacked(small_image):
 
 
 def test_packed_batch_matches_per_frame(small_image):
-    """vmap-batched B-frame program == the per-frame program (the
+    """Scan-batched B-frame program == the per-frame program (the
     prefetch pipeline's batched dispatch unit must not change outputs)."""
     from orbslam3_tpu.frontend.stereo_frame import (
         extract_and_match_stereo_packed,
@@ -122,7 +122,7 @@ def test_packed_batch_matches_per_frame(small_image):
 
 def test_system_batched_prefetch_matches_synchronous(small_image):
     """System.prefetch_stereo_batch handles, consumed in order, reproduce
-    track_stereo exactly (one vmap dispatch serving the prefetch window)."""
+    track_stereo exactly (one scan-batched dispatch serving the prefetch window)."""
     from orbslam3_tpu.cameras.models import Pinhole
     from orbslam3_tpu.slam.system import System
     from orbslam3_tpu.utils.synth import stereo_sequence
