@@ -69,6 +69,13 @@ def main(n: int = 400, depth: int = 4, sequential: bool = False) -> None:
     )
 
     est, gt, times = [], [], []
+    # per-frame forensics (VERDICT r4 weak #2): state + map identity every
+    # frame, so dropped frames decompose into EPISODES with causes instead
+    # of one aggregate count
+    tracked = np.zeros(n, bool)
+    states = []            # per-frame state names
+    transitions = []       # (frame, old_state -> new_state, n_maps)
+    last_state = None
     handles = deque(
         sysm.prefetch_stereo(frames[k][0], frames[k][1])
         for k in range(min(depth, n))
@@ -84,14 +91,22 @@ def main(n: int = 400, depth: int = 4, sequential: bool = False) -> None:
         dt = (time.perf_counter() - t1) * 1e3
         if kf >= 10:
             times.append(dt)
+        stname = sysm.get_tracking_state().name
+        states.append(stname)
+        if stname != last_state:
+            transitions.append((kf, f"{last_state}->{stname}",
+                                sysm.atlas.count_maps()))
+            last_state = stname
+        tracked[kf] = pose is not None
         if pose is not None:
             est.append(pose)
             gt.append(frames[kf][2])
         if kf % 100 == 99:
             st = sysm.map_stats()
             print(
-                f"frame {kf+1}: {sysm.get_tracking_state().name} "
+                f"frame {kf+1}: {stname} "
                 f"KFs={st['n_keyframes']} MPs={st['n_map_points']} "
+                f"maps={sysm.atlas.count_maps()} "
                 f"median {np.median(times):.1f} ms",
                 flush=True,
             )
@@ -99,14 +114,31 @@ def main(n: int = 400, depth: int = 4, sequential: bool = False) -> None:
     sysm.shutdown()
     st = sysm.map_stats()
     rmse = ate_rmse(est, gt) if len(est) >= 2 else float("nan")
+    lm = sysm.local_mapper
     print(
-        f"SOAK n={n} depth={depth}: tracked {len(est)}/{n}, "
+        f"SOAK n={n} depth={depth}: tracked {int(tracked.sum())}/{n}, "
         f"ATE {rmse*1000:.2f} mm, KFs={st['n_keyframes']} "
-        f"MPs={st['n_map_points']}, median {np.median(times):.2f} ms/frame, "
+        f"MPs={st['n_map_points']}, maps={sysm.atlas.count_maps()}, "
+        f"median {np.median(times):.2f} ms/frame, "
         f"p95 {np.percentile(times, 95):.1f} ms, wall {wall:.1f}s "
-        f"({n/wall:.1f} fps)",
+        f"({n/wall:.1f} fps), "
+        f"LBA exec/abort {lm.n_lba_exec}/{lm.n_lba_abort}",
         flush=True,
     )
+    # --- dropout episode report -----------------------------------------
+    print("state transitions:", flush=True)
+    for f0, tr, nm in transitions:
+        print(f"  frame {f0:4d}: {tr} (maps={nm})", flush=True)
+    drop = ~tracked
+    edges = np.nonzero(np.diff(np.r_[0, drop.view(np.int8), 0]))[0]
+    episodes = list(zip(edges[::2], edges[1::2]))  # [start, end) untracked
+    print(f"dropout episodes: {len(episodes)}", flush=True)
+    for a, b in episodes:
+        span_states = sorted(set(states[a:b]))
+        print(
+            f"  frames {a}-{b-1} ({b-a} frames): states {span_states}",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":
