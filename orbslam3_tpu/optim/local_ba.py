@@ -19,15 +19,56 @@ from orbslam3_tpu.optim.bundle_adjustment import (
 )
 
 
-def local_bundle_adjustment(kf, map_, abort_flag=None, max_fixed: int = 200):
+import contextlib
+
+
+def local_bundle_adjustment(
+    kf, map_, abort_flag=None, max_fixed: int = 200, map_lock=None
+):
     """abort_flag: optional AbortFlag the tracker sets on keyframe
     insertion (LocalMapping::mbAbortBA) — checked before starting, between
     LM iterations (bundle_adjust polls it, native loop included), and
     between the two stages; an aborted stage still writes back its partial
     result, exactly like the reference's force-stopped g2o optimize
-    (/root/reference/src/LocalMapping.cc:284-296, Optimizer2.cc:350)."""
+    (/root/reference/src/LocalMapping.cc:284-296, Optimizer2.cc:350).
+
+    map_lock: optional map-update lock (Map.update_lock).  The reference
+    holds mMutexMapUpdate only while RECOVERING optimized data — the g2o
+    solve runs unlocked so Tracking proceeds concurrently
+    (src/Optimizer2.cc:350 region: "Get Map Mutex" comes after optimize).
+    Mirrored here: graph collection and write-back run under the lock
+    (the tracker structurally mutates observations when it creates a
+    keyframe), the LM solve between them runs unlocked."""
+    lock = map_lock if map_lock is not None else contextlib.nullcontext()
     if abort_flag is not None and abort_flag:
         return 0
+    with lock:
+        pr, meta = _collect_local_ba(kf, max_fixed)
+    if pr is None:
+        return 0
+    all_kfs, local_kfs, local_mps, kf_slot, obs_kfs, kfi, pt_idx = meta
+
+    poses, points, chi2 = bundle_adjust(pr, n_iters=5, abort_flag=abort_flag)
+    # second stage without outliers — skipped when interrupted (bDoMore)
+    stereo = pr.obs_ur >= 0
+    th = np.where(stereo, CHI2_STEREO, CHI2_MONO)
+    if abort_flag is None or not abort_flag:
+        active = chi2 <= th
+        pr2 = BAProblem(**{**pr.__dict__, "poses": poses, "points": points})
+        poses, points, chi2 = bundle_adjust(
+            pr2, n_iters=10, active=active, abort_flag=abort_flag
+        )
+
+    with lock:
+        _write_back_local_ba(
+            map_, pr, meta, poses, points, chi2, th
+        )
+    return len(local_kfs)
+
+
+def _collect_local_ba(kf, max_fixed: int):
+    """Build the local-BA problem from the covisibility window (locked
+    phase — reads observation dicts the tracker can grow)."""
     local_kfs = [kf] + [k for k in kf.get_best_covisibility_keyframes(1000) if not k.bad]
     local_set = set(local_kfs)
     local_mps = []
@@ -72,7 +113,7 @@ def local_bundle_adjustment(kf, map_, abort_flag=None, max_fixed: int = 200):
     old_idx = np.nonzero(counts > 0)[0]
     kept_mps = [local_mps[i] for i in old_idx]
     if not kept_mps:
-        return 0
+        return None, None
     _, _, grp, kfi, left_a, right_a, obs_kfs = hostops.collect_obs(kept_mps)
     grp = old_idx[grp]
     slot_by_kf = np.fromiter(
@@ -96,7 +137,7 @@ def local_bundle_adjustment(kf, map_, abort_flag=None, max_fixed: int = 200):
     pt_idx = grp
     n_e = len(cam_idx)
     if n_e < 10 or len(local_kfs) == 0:
-        return 0
+        return None, None
     uv = np.empty((n_e, 2))
     ur = np.empty(n_e)
     inv_s2 = np.empty(n_e)
@@ -133,26 +174,26 @@ def local_bundle_adjustment(kf, map_, abort_flag=None, max_fixed: int = 200):
         camera2=kf.camera2,
         Trl=kf.Trl,
     )
-    poses, points, chi2 = bundle_adjust(pr, n_iters=5, abort_flag=abort_flag)
-    # second stage without outliers — skipped when interrupted (bDoMore)
-    stereo = pr.obs_ur >= 0
-    th = np.where(stereo, CHI2_STEREO, CHI2_MONO)
-    if abort_flag is None or not abort_flag:
-        active = chi2 <= th
-        pr2 = BAProblem(**{**pr.__dict__, "poses": poses, "points": points})
-        poses, points, chi2 = bundle_adjust(
-            pr2, n_iters=10, active=active, abort_flag=abort_flag
-        )
+    return pr, (all_kfs, local_kfs, local_mps, kf_slot, obs_kfs, kfi, pt_idx)
 
-    # write back
+
+def _write_back_local_ba(map_, pr, meta, poses, points, chi2, th):
+    """Recover optimized data into the map (locked phase — the
+    reference's post-optimize section under mMutexMapUpdate).  A KF/point
+    can have turned bad during the unlocked solve (mapper culling cannot
+    — it runs on this same thread — but loop-closing merge can in
+    principle); write-back tolerates it the way the reference re-checks
+    isBad() on recover."""
+    all_kfs, local_kfs, local_mps, kf_slot, obs_kfs, kfi, pt_idx = meta
     for k, p in zip(all_kfs, poses):
-        if not pr.fixed_cams[kf_slot[k]]:
+        if not pr.fixed_cams[kf_slot[k]] and not k.bad:
             k.set_pose(p)
     for mp, pos in zip(local_mps, points):
-        mp.position = pos
+        if not mp.bad:
+            mp.position = pos
     from orbslam3_tpu.slam.map_point import refresh_points
 
-    refresh_points(local_mps, descriptors=False)
+    refresh_points([mp for mp in local_mps if not mp.bad], descriptors=False)
     # erase outlier observations
     bad = chi2 > th
     n_erased = 0
@@ -169,4 +210,3 @@ def local_bundle_adjustment(kf, map_, abort_flag=None, max_fixed: int = 200):
         mp.erase_observation(k)
         n_erased += 1
     map_.info_changed()
-    return len(local_kfs)

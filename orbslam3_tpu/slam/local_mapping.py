@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 
 import numpy as np
 
@@ -232,30 +233,48 @@ class LocalMapping:
         self.finished = True
 
     # --- pipeline -------------------------------------------------------
+    def _yield(self):
+        """Cooperative GIL yield between pipeline stages (threaded mode).
+
+        The reference relies on OS preemption across >= 4 cores
+        (CMakeLists pins -pthread; LocalMapping runs on its own core).  On
+        a single-core host the mapper's Python-level stage loops can hold
+        the GIL past the tracker's frame deadline, starving Track() into
+        LOST (observed: round-4 threaded soak fork).  A zero-length sleep
+        releases the GIL at stage boundaries so a mid-frame tracker runs
+        promptly; cost on multi-core is a few syscalls per keyframe."""
+        if not self.sequential:
+            time.sleep(0)
+
     def _process(self, kf):
         self._process_new_keyframe(kf)
+        self._yield()
         self._cull_map_points(kf)
+        self._yield()
         self._create_new_map_points(kf)
+        self._yield()
         # a fresh cycle starts listening for interrupts here (the reference
         # clears mbAbortBA right after CreateNewMapPoints, LocalMapping.cc:103)
         self.abort_ba.clear()
         if self.sequential or self.kf_queue.empty():
             self._search_in_neighbors(kf)
+            self._yield()
             m = self.atlas.get_current_map()
             if m.n_keyframes() > 2 and (self.sequential or self.kf_queue.empty()):
-                # BA mutates poses the tracker reads: exclude a concurrent
-                # Track() via the coarse map-update lock (threaded mode)
-                with m.update_lock:
-                    self.n_lba_exec += 1
-                    if (
-                        self.imu_calib is not None
-                        and getattr(m, "imu_initialized", False)
-                        and kf.imu_preint is not None
-                    ):
-                        from orbslam3_tpu.optim.local_inertial_ba import (
-                            local_inertial_ba,
-                        )
+                self.n_lba_exec += 1
+                if (
+                    self.imu_calib is not None
+                    and getattr(m, "imu_initialized", False)
+                    and kf.imu_preint is not None
+                ):
+                    from orbslam3_tpu.optim.local_inertial_ba import (
+                        local_inertial_ba,
+                    )
 
+                    # the inertial window optimizer is monolithic: hold the
+                    # map-update lock across it (solve-unlocked treatment
+                    # is the visual path's, below)
+                    with m.update_lock:
                         local_inertial_ba(
                             kf, m, self.imu_calib,
                             ba_prior_sigma=(
@@ -265,15 +284,22 @@ class LocalMapping:
                                 None if self.sequential else self.abort_ba
                             ),
                         )
-                    else:
-                        local_bundle_adjustment(
-                            kf, m,
-                            abort_flag=(
-                                None if self.sequential else self.abort_ba
-                            ),
-                        )
-                    if not self.sequential and self.abort_ba:
-                        self.n_lba_abort += 1
+                else:
+                    # reference lock discipline (Optimizer2.cc:350 region):
+                    # graph collection + write-back under mMutexMapUpdate,
+                    # the LM solve unlocked so a concurrent Track() is not
+                    # starved for the whole BA (the round-4 threaded-soak
+                    # failure mode on single-core hosts)
+                    local_bundle_adjustment(
+                        kf, m,
+                        abort_flag=(
+                            None if self.sequential else self.abort_ba
+                        ),
+                        map_lock=None if self.sequential else m.update_lock,
+                    )
+                if not self.sequential and self.abort_ba:
+                    self.n_lba_abort += 1
+            self._yield()
             with m.update_lock:
                 self._cull_keyframes(kf)
         if self.imu_calib is not None:

@@ -144,19 +144,25 @@ def test_threaded_mapper_aborts_lba_on_insertion():
                       sequential=False, max_frames=4)
         lm = sysm.local_mapper
         assert not lm.sequential
+        last_exec = 0
         for k in range(24):
             sysm.track_stereo_features(
                 _feats_at(pts, descs, rng, _pose(k)), k / 20.0, (0, 0, W, H)
             )
-            # pace the tracker: wait for the mapper to pick up any queued
-            # keyframe and give it a head start into its (slow, NumPy)
-            # local BA — the next insertion then lands mid-solve, which is
-            # exactly the contention mbAbortBA exists for
+            # pace the tracker the way real frame cadence does: wait until
+            # the mapper either ENTERS an LBA (exec counter bumps at solve
+            # entry — the next insertion then lands mid-solve, exactly the
+            # contention mbAbortBA exists for) or drains and goes idle
+            # (our insertion was already pending, so the LBA was skipped —
+            # the reference's CheckNewKeyFrames fast path)
             t0 = time.time()
-            while lm.queue_size() > 0 and time.time() - t0 < 30:
-                time.sleep(0.01)
-            if lm.n_lba_exec:
-                time.sleep(0.2)
+            while time.time() - t0 < 30:
+                if lm.n_lba_exec > last_exec:
+                    last_exec = lm.n_lba_exec
+                    break
+                if lm.queue_size() == 0 and lm._idle:
+                    break
+                time.sleep(0.005)
         # let the worker drain, then shut down
         t0 = time.time()
         while lm.queue_size() > 0 and time.time() - t0 < 120:
