@@ -50,3 +50,35 @@ def test_frame_parallel_sharding_bit_exact():
     single = run(jax.device_put(pairs, jax.devices()[0]))
     for a, b in zip(jax.tree.leaves(out), jax.tree.leaves(single)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow  # CPU-backend compile of the scan-batched program
+def test_throughput_scan_batch_sharding_bit_exact():
+    """The THROUGHPUT program (System.prefetch_stereo_batch's scan-batched
+    dispatch — bench B6 / the multi-robot fleet) under shard_map: XLA
+    cannot partition a lax.scan's iteration axis, so each device scans its
+    LOCAL shard of the fleet batch.  Per-frame packed outputs must be
+    bit-equal sharded vs unsharded (__graft_entry__.dryrun_multichip
+    phase 2 runs the same gate at production geometry)."""
+    from jax.experimental.shard_map import shard_map
+
+    from orbslam3_tpu.frontend.stereo_frame import (
+        extract_and_match_stereo_packed_batch,
+    )
+
+    n = 8
+    if len(jax.devices()) < n:
+        pytest.skip("virtual mesh unavailable")
+    b_per = 2
+    pairs = np.stack([_pair(100 + i) for i in range(n * b_per)])
+    mesh = Mesh(np.array(jax.devices()[:n]), axis_names=("data",))
+
+    def run(ps):
+        return extract_and_match_stereo_packed_batch(ps, PARAMS)
+
+    fleet = jax.jit(
+        shard_map(run, mesh=mesh, in_specs=P("data"), out_specs=P("data"))
+    )
+    out = np.asarray(fleet(jax.device_put(pairs, NamedSharding(mesh, P("data")))))
+    single = np.asarray(run(jax.device_put(pairs, jax.devices()[0])))
+    np.testing.assert_array_equal(out, single)
