@@ -90,6 +90,7 @@ class Tracking:
         self._local_slots_table = None
         self.temporal_points: list[MapPoint] = []
         self.frames_since_lost = 0
+        self._time_stamp_lost = 0.0  # mTimeStampLost (Tracking3.cc:270)
 
         # trajectory log: (frame_id, timestamp, Tcr relative to ref KF, ref KF, lost)
         self.trajectory: list = []
@@ -158,7 +159,11 @@ class Tracking:
             if not ok:
                 ok = self._relocalize()
             self.frames_since_lost += 1
-            if not ok and self.frames_since_lost > self.max_frames:
+            # TIME-based patience (Tracking3.cc:242-260): visual-only gives
+            # relocalization 3.0 s from the loss timestamp; inertial rides
+            # IMU prediction for time_recently_lost (5.0 s) before LOST.
+            patience = 5.0 if self.imu_calib is not None else 3.0
+            if not ok and frame.timestamp - self._time_stamp_lost > patience:
                 self.state = TrackingState.LOST
 
         if self.state == TrackingState.LOST:
@@ -175,6 +180,7 @@ class Tracking:
         elif self.state == TrackingState.OK:
             self.state = TrackingState.RECENTLY_LOST
             self.frames_since_lost = 0
+            self._time_stamp_lost = frame.timestamp
             self._imu_prior = None  # chain broken; restart from next anchor
 
         if ok:

@@ -35,7 +35,14 @@ from orbslam3_tpu.utils.synth import (  # noqa: E402
 from orbslam3_tpu.vocab.vocabulary import BinaryVocabulary  # noqa: E402
 
 
-def main(n: int = 400, depth: int = 4, sequential: bool = False) -> None:
+def main(
+    n: int = 400, depth: int = 4, sequential: bool = False, fps: float = 0.0
+) -> None:
+    """fps > 0 paces playback at that camera rate, sleeping off any frame
+    slack exactly like the reference's dataset drivers (stereo_euroc.cc
+    main loop usleeps ttrack up to the inter-frame timestamp gap) — the
+    mapper/loop threads get the slack the reference's design assumes.
+    fps == 0 feeds flat out (a stress mode no camera produces)."""
     fx = 350.0
     h, w = 480, 752
     camera = Pinhole([fx, fx, w / 2, h / 2])
@@ -101,6 +108,10 @@ def main(n: int = 400, depth: int = 4, sequential: bool = False) -> None:
         if pose is not None:
             est.append(pose)
             gt.append(frames[kf][2])
+        if fps > 0:
+            slack = (kf + 1) / fps - (time.time() - t_run)
+            if slack > 0:
+                time.sleep(slack)
         if kf % 100 == 99:
             st = sysm.map_stats()
             print(
@@ -142,8 +153,13 @@ def main(n: int = 400, depth: int = 4, sequential: bool = False) -> None:
 
 
 if __name__ == "__main__":
+    fps = 0.0
+    for a in sys.argv:
+        if a.startswith("--fps="):
+            fps = float(a.split("=", 1)[1])
     main(
         int(sys.argv[1]) if len(sys.argv) > 1 else 400,
         int(sys.argv[2]) if len(sys.argv) > 2 else 4,
         sequential="--sequential" in sys.argv,
+        fps=fps,
     )
