@@ -136,6 +136,22 @@ def main(
         f"LBA exec/abort {lm.n_lba_exec}/{lm.n_lba_abort}",
         flush=True,
     )
+    import json
+
+    print(json.dumps({
+        "metric": "soak",
+        "n_frames": n,
+        "mode": "sequential" if sequential else "threaded",
+        "fps_paced": fps,
+        "tracked": int(tracked.sum()),
+        "ate_mm": round(rmse * 1000, 3),
+        "n_keyframes": st["n_keyframes"],
+        "n_maps": sysm.atlas.count_maps(),
+        "median_ms": round(float(np.median(times)), 2),
+        "p95_ms": round(float(np.percentile(times, 95)), 1),
+        "lba_exec": lm.n_lba_exec,
+        "lba_abort": lm.n_lba_abort,
+    }), flush=True)
     # --- dropout episode report -----------------------------------------
     print("state transitions:", flush=True)
     for f0, tr, nm in transitions:
