@@ -91,6 +91,11 @@ class Tracking:
         self.temporal_points: list[MapPoint] = []
         self.frames_since_lost = 0
         self._time_stamp_lost = 0.0  # mTimeStampLost (Tracking3.cc:270)
+        # RECENTLY_LOST patience before LOST: the reference holds inertial
+        # modes for time_recently_lost (member, 5.0 s; Tracking1.cc:48) and
+        # visual-only for a hardcoded 3.0 s (Tracking3.cc:255)
+        self.time_recently_lost = 5.0
+        self.time_recently_lost_visual = 3.0
 
         # trajectory log: (frame_id, timestamp, Tcr relative to ref KF, ref KF, lost)
         self.trajectory: list = []
@@ -162,7 +167,11 @@ class Tracking:
             # TIME-based patience (Tracking3.cc:242-260): visual-only gives
             # relocalization 3.0 s from the loss timestamp; inertial rides
             # IMU prediction for time_recently_lost (5.0 s) before LOST.
-            patience = 5.0 if self.imu_calib is not None else 3.0
+            patience = (
+                self.time_recently_lost
+                if self.imu_calib is not None
+                else self.time_recently_lost_visual
+            )
             if not ok and frame.timestamp - self._time_stamp_lost > patience:
                 self.state = TrackingState.LOST
 

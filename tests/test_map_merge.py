@@ -29,6 +29,9 @@ def test_lost_fork_then_merge():
     sysm = System(camera, mbf, PyramidParams(n_features=900), sequential=True,
                   max_frames=2, vocabulary=voc)
     sysm.tracker.relocalizer = None  # force the fork+merge path, not reloc
+    # collapse the (time-based, reference 3.0 s) RECENTLY_LOST patience so
+    # the 6-frame blackout at 20 fps timestamps forks promptly
+    sysm.tracker.time_recently_lost_visual = 0.1
     sysm.loop_closer.run_gba = False
     blank = np.full((H, W), 127, np.uint8)
     blackout = range(20, 26)
