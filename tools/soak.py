@@ -125,10 +125,26 @@ def main(
     sysm.shutdown()
     st = sysm.map_stats()
     rmse = ate_rmse(est, gt) if len(est) >= 2 else float("nan")
+    # Post-hoc ATE over the REPLAYED trajectory (SaveTrajectory* semantics:
+    # per-frame Tcr recomposed against final optimized KF poses, biggest
+    # map).  The live per-frame log above keeps whatever coordinate frame
+    # each pose was emitted in — a LOST->fork segment later welded back by
+    # a map merge stays in the pre-merge frame there and poisons the
+    # single-alignment ATE; the replay re-expresses it.
+    traj = sysm.frame_trajectory(map_filter="biggest")
+    gt_by_ts = {round(k / 20.0, 6): frames[k][2] for k in range(n)}
+    est_r, gt_r = [], []
+    for ts, twc in traj:
+        g = gt_by_ts.get(round(ts, 6))
+        if g is not None:
+            est_r.append(twc.inverse())
+            gt_r.append(g)
+    rmse_replay = ate_rmse(est_r, gt_r) if len(est_r) >= 2 else float("nan")
     lm = sysm.local_mapper
     print(
         f"SOAK n={n} depth={depth}: tracked {int(tracked.sum())}/{n}, "
-        f"ATE {rmse*1000:.2f} mm, KFs={st['n_keyframes']} "
+        f"ATE {rmse*1000:.2f} mm (replayed {rmse_replay*1000:.2f} mm over "
+        f"{len(est_r)} frames), KFs={st['n_keyframes']} "
         f"MPs={st['n_map_points']}, maps={sysm.atlas.count_maps()}, "
         f"median {np.median(times):.2f} ms/frame, "
         f"p95 {np.percentile(times, 95):.1f} ms, wall {wall:.1f}s "
@@ -145,6 +161,8 @@ def main(
         "fps_paced": fps,
         "tracked": int(tracked.sum()),
         "ate_mm": round(rmse * 1000, 3),
+        "ate_replay_mm": round(rmse_replay * 1000, 3),
+        "replay_frames": len(est_r),
         "n_keyframes": st["n_keyframes"],
         "n_maps": sysm.atlas.count_maps(),
         "median_ms": round(float(np.median(times)), 2),
